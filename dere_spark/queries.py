@@ -1,0 +1,625 @@
+"""Query registry: named (spark, sf_dir) -> DataFrame callables plus their
+ANSI-SQL oracles (run by the driver against DuckDB on the same parquet).
+
+Every operator claimed in SURVEY.md §2 gets an entry here. Column names and
+types are aligned 1:1 between the Spark plan and the oracle SQL (the driver
+hashes values after sorting columns by name). Floating-point results either
+come from order-independent arithmetic (single IEEE ops) or are summed as
+DECIMAL so both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from dere_spark.operators.tokenize import fidelity_violations, tokenize
+from dere_spark.sources.documents import load_documents, load_table
+from dere_spark.webtext import GAZETTEERS, build_stages
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL: the whole webtext KG pipeline as DuckDB CTEs.
+# Mirrors dere_spark.webtext stage-for-stage; gazetteers/whitelist/aliases
+# are inlined VALUES (they are broadcast literals in the Spark plan too).
+# ---------------------------------------------------------------------------
+
+def _gaz_values() -> str:
+    rows = []
+    for span_type, terms in sorted(GAZETTEERS.items()):
+        for t in sorted(set(terms)):
+            rows.append(f"('{t}', '{span_type}')")
+    return ", ".join(rows)
+
+
+KG_CTES = f"""
+WITH raw_tokens AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INT) AS token_idx
+  FROM documents
+),
+tokens AS (
+  SELECT doc_id, token_idx, token,
+         CAST(coalesce(sum(len(token) + 1) OVER (
+           PARTITION BY doc_id ORDER BY token_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "left",
+         CAST(coalesce(sum(len(token) + 1) OVER (
+           PARTITION BY doc_id ORDER BY token_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + len(token) AS INT) AS "right"
+  FROM raw_tokens
+),
+gaz(term, span_type) AS (VALUES {_gaz_values()}),
+spans AS (
+  SELECT t.doc_id, t.token_idx, g.span_type, t."left", t."right",
+         t.token AS text, 'predicted' AS source
+  FROM tokens t JOIN gaz g ON lower(t.token) = g.term
+),
+whitelist(anchor_type, filler_type, frame_type, slot_name, predicate) AS (VALUES
+  ('Operator', 'Object',    'Operation', 'Theme',  'Operation.Theme'),
+  ('Operator', 'Qualifier', 'Operation', 'Manner', 'Operation.Manner')
+),
+pairs AS (
+  SELECT a.doc_id,
+         a.token_idx AS anchor_idx, a.span_type AS anchor_type,
+         a."left" AS anchor_left, a."right" AS anchor_right, a.text AS anchor_text,
+         f.token_idx AS filler_idx, f.span_type AS filler_type,
+         f."left" AS filler_left, f."right" AS filler_right, f.text AS filler_text,
+         w.frame_type, w.slot_name, w.predicate,
+         f.token_idx - a.token_idx AS token_distance
+  FROM spans a
+  JOIN spans f ON a.doc_id = f.doc_id
+              AND a.token_idx != f.token_idx
+              AND abs(f.token_idx - a.token_idx) <= 3
+  JOIN whitelist w ON a.span_type = w.anchor_type AND f.span_type = w.filler_type
+),
+scored AS (
+  SELECT *, 1.0 / (1.0 + abs(token_distance)) AS score
+  FROM pairs
+  WHERE (slot_name = 'Theme' AND token_distance > 0)
+     OR (slot_name = 'Manner' AND token_distance = -1)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, anchor_idx, frame_type, slot_name
+    ORDER BY abs(token_distance) ASC, filler_idx ASC) AS filler_rank
+  FROM scored
+),
+fills AS (SELECT * FROM ranked WHERE filler_rank <= 1),
+valid_frames AS (
+  SELECT doc_id, anchor_idx, frame_type FROM fills
+  WHERE slot_name = 'Theme'
+  GROUP BY doc_id, anchor_idx, frame_type
+),
+frames AS (
+  SELECT f.doc_id, f.anchor_idx AS frame_id, f.frame_type,
+         f.anchor_idx, f.anchor_type, f.anchor_left, f.anchor_right, f.anchor_text,
+         f.slot_name, f.predicate,
+         f.filler_idx, f.filler_type, f.filler_left, f.filler_right, f.filler_text,
+         f.token_distance, f.score, 'predicted' AS source
+  FROM fills f
+  SEMI JOIN valid_frames v
+    ON f.doc_id = v.doc_id AND f.anchor_idx = v.anchor_idx AND f.frame_type = v.frame_type
+),
+triples AS (
+  SELECT
+    CASE lower(anchor_text) WHEN 'spark' THEN 'ent:apache_spark'
+                            WHEN 'customer' THEN 'ent:customer'
+                            ELSE 'ent:' || lower(anchor_text) END AS subj,
+    predicate AS pred,
+    CASE lower(filler_text) WHEN 'spark' THEN 'ent:apache_spark'
+                            WHEN 'customer' THEN 'ent:customer'
+                            ELSE 'ent:' || lower(filler_text) END AS obj,
+    doc_id, frame_id, score AS confidence
+  FROM frames
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline stages (S1-ish scan, F5/F7 offsets, J5 gazetteer join, J1
+# whitelist self-join, M5 assembly + M6 cardinality, triples flatten)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kg_tokens",
+    KG_CTES + 'SELECT doc_id, token_idx, token, "left", "right" FROM tokens',
+)
+def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-preserving tokenization (SURVEY §2.8 F5/F7)."""
+    return tokenize(load_documents(spark, sf_dir)).select(
+        "doc_id", "token_idx", "token", "left", "right"
+    )
+
+
+@register(
+    "kg_text_fidelity",
+    KG_CTES
+    + """
+    SELECT t.doc_id, t.token_idx, t.token, t."left", t."right"
+    FROM tokens t JOIN documents d ON t.doc_id = CAST(d.doc_id AS VARCHAR)
+    WHERE substring(d.text, t."left" + 1, t."right" - t."left") != t.token
+    """,
+)
+def q_kg_text_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical text invariant (reference: brat_corpus_io.py:158) —
+    result must be EMPTY; driver verifies 0 == 0 against the oracle."""
+    docs = load_documents(spark, sf_dir)
+    return fidelity_violations(docs, tokenize(docs))
+
+
+@register(
+    "kg_spans",
+    KG_CTES + 'SELECT doc_id, token_idx, span_type, "left", "right", text, source FROM spans',
+)
+def q_kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer span detection as broadcast-hash join (SURVEY §2.3 J5)."""
+    return build_stages(spark, sf_dir)["spans"]
+
+
+@register(
+    "kg_pairs",
+    KG_CTES + "SELECT * FROM pairs",
+)
+def q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair self theta-join with whitelist pushdown (J1)."""
+    return build_stages(spark, sf_dir)["pairs"]
+
+
+@register(
+    "kg_frames",
+    KG_CTES + "SELECT * FROM frames",
+)
+def q_kg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot scoring, ranked filler selection, cardinality enforcement,
+    frame assembly (M4/M5/M6, O1 argmin, P3 filter)."""
+    return build_stages(spark, sf_dir)["frames"]
+
+
+@register(
+    "kg_triples",
+    KG_CTES + "SELECT * FROM triples",
+)
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: entity-linked (subj, pred, obj) triples."""
+    return build_stages(spark, sf_dir)["triples"]
+
+
+@register(
+    "kg_triple_stats",
+    KG_CTES
+    + """
+    SELECT pred, subj, CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj
+    FROM triples GROUP BY pred, subj
+    """,
+)
+def q_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the graph (SURVEY §2.4 A1/A7): per-predicate,
+    per-subject triple counts — partial aggregation (map-side combine) free."""
+    t = build_stages(spark, sf_dir)["triples"]
+    return t.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("obj").alias("n_distinct_obj"),
+    )
+
+
+@register(
+    "kg_pred_rollup",
+    KG_CTES
+    + """
+    SELECT coalesce(pred, '[ALL]') AS pred,
+           coalesce(CAST(subj AS VARCHAR), '[ALL]') AS subj,
+           CAST(count(*) AS BIGINT) AS n
+    FROM triples GROUP BY ROLLUP (pred, subj)
+    """,
+)
+def q_kg_pred_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-level rollup (SURVEY §2.4: report totals are a manual rollup,
+    dere/evaluation.py:352-366)."""
+    t = build_stages(spark, sf_dir)["triples"]
+    return (
+        t.rollup("pred", "subj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("pred", F.lit("[ALL]")).alias("pred"),
+            F.coalesce("subj", F.lit("[ALL]")).alias("subj"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-style semi/anti joins (E1/J8): hypo vs synthetic-gold spans
+# ---------------------------------------------------------------------------
+
+_EVAL_CTES = (
+    KG_CTES
+    + """,
+hypo AS (SELECT * FROM spans),
+gold AS (SELECT * FROM spans WHERE token_idx % 7 != 0)
+"""
+)
+
+
+def _hypo_gold(spark: SparkSession, sf_dir: str):
+    spans = build_stages(spark, sf_dir)["spans"]
+    return spans, spans.where(F.col("token_idx") % 7 != 0)
+
+
+@register(
+    "eval_span_counts",
+    _EVAL_CTES
+    + """
+    SELECT span_type,
+      CAST(sum(CASE WHEN outcome = 'tp' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN outcome = 'fp' THEN 1 ELSE 0 END) AS BIGINT) AS fp
+    FROM (
+      SELECT h.span_type, CASE WHEN g.doc_id IS NULL THEN 'fp' ELSE 'tp' END AS outcome
+      FROM hypo h LEFT JOIN gold g
+        ON h.doc_id = g.doc_id AND h.span_type = g.span_type
+       AND h."left" = g."left" AND h."right" = g."right"
+    ) GROUP BY span_type
+    """,
+)
+def q_eval_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span evaluation TP/FP via semi/anti joins on the span identity
+    4-tuple (reference: dere/evaluation.py:22-34; Span.matches
+    dere/corpus.py:206-220)."""
+    hypo, gold = _hypo_gold(spark, sf_dir)
+    key = ["doc_id", "span_type", "left", "right"]
+    tp = (
+        hypo.join(gold, key, "left_semi")
+        .groupBy("span_type")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    fp = (
+        hypo.join(gold, key, "left_anti")
+        .groupBy("span_type")
+        .agg(F.count(F.lit(1)).alias("fp"))
+    )
+    return (
+        tp.join(fp, "span_type", "full_outer")
+        .select(
+            "span_type",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Provenance / projection filters (P1/P2) and relational basics
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_lang_dist",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang != 'en' GROUP BY lang, source
+    """,
+)
+def q_doc_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + multi-key aggregate over documents (P1-style provenance
+    filter analog: filter(col != literal))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("lang") != "en")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _register_relational() -> None:
+    """TPC-H-style relational coverage: joins/aggs/windows/sets (SURVEY §2.3-2.7)."""
+
+    @register(
+        "join_full_outer_orders",
+        """
+        SELECT c.c_custkey AS custkey,
+               CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+        """,
+    )
+    def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Customer↔orders join + per-key fold (J7-style doc pairing +
+        A2 monoid fold). DECIMAL sum → bit-identical across engines."""
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+            .groupBy(F.col("c_custkey").alias("custkey"))
+            .agg(
+                F.count("o_orderkey").alias("n_orders"),
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+                )
+                .cast("decimal(18,2)")
+                .alias("total_spend"),
+            )
+        )
+
+    @register(
+        "agg_pricing_summary",
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+    def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q1-shaped pricing summary (A1/A2/A3 aggregation family):
+        predicate pushed to scan, decimal partial aggregation."""
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("sum_base_price"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                )
+                .cast("decimal(38,4)")
+                .alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    @register(
+        "window_event_lag",
+        """
+        SELECT event_id, user_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+    )
+    def q_window_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """±1 context window (W1: prev/next token features,
+        span_classifier.py:363-384) expressed as lag/lead."""
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+
+    @register(
+        "window_sessionize",
+        """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), sessions AS (
+          SELECT user_id, event_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+        """,
+    )
+    def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sessionization — the BIO-decode pattern (W3: running sum over a
+        boundary flag opens a new group, span_classifier.py:415-449) applied
+        to event streams (30-min gap)."""
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                    > 1800
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        wsum = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        sessions = flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(wsum).alias("session_id"),
+        )
+        return sessions.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+
+    @register(
+        "topk_terms_per_lang",
+        """
+        WITH term_counts AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        ), counted AS (
+          SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM term_counts GROUP BY lang, term
+        ), ranked AS (
+          SELECT lang, term, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rk
+          FROM counted
+        )
+        SELECT lang, term, n, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5
+        """,
+    )
+    def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-k per group (SURVEY §2.6): rank with full deterministic
+        tie-break, filter rk<=k."""
+        docs = load_documents(spark, sf_dir, columns=["lang", "text"])
+        counted = (
+            docs.select("lang", F.explode(F.split("text", " ", -1)).alias("term"))
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+        return (
+            counted.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("lang", "term", "n", F.col("rk").cast("int").alias("rk"))
+        )
+
+    @register(
+        "set_union_distinct",
+        """
+        SELECT CAST(k AS BIGINT) AS k FROM (
+          SELECT o_custkey AS k FROM orders
+          UNION
+          SELECT c_custkey AS k FROM customer
+        )
+        """,
+    )
+    def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Set union + distinct (U1/U2: train+dev union, doc-id key union)."""
+        o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+        c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        return o.unionByName(c).distinct()
+
+
+_register_relational()
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / text analysis (SURVEY brief §extras)
+# ---------------------------------------------------------------------------
+
+def _register_textops() -> None:
+    @register(
+        "dedup_exact",
+        """
+        SELECT md5(text) AS text_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(min(doc_id) AS VARCHAR) AS representative
+        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+    )
+    def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup: hash-groupBy on content, keep duplicate groups with
+        a deterministic representative (min doc_id)."""
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        return (
+            docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.min("doc_id").alias("representative"),
+            )
+            .where(F.col("n_dups") > 1)
+        )
+
+    @register(
+        "text_quality",
+        """
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+               CAST(sum(len(token)) AS BIGINT) AS sum_token_len
+        FROM toks GROUP BY doc_id
+        """,
+    )
+    def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Text-quality scoring primitives: token count, type count,
+        stopword count, total token length — all integer-exact."""
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+        )
+        return toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+            F.sum(F.when(F.col("token").isin("the", "a"), 1).otherwise(0)).alias(
+                "n_stopwords"
+            ),
+            F.sum(F.length("token")).alias("sum_token_len"),
+        )
+
+    @register(
+        "dedup_ngram_shingles",
+        """
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INT) AS token_idx
+          FROM documents
+        ), shingles AS (
+          SELECT doc_id,
+                 token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+          QUALIFY lead(token, 2) OVER w IS NOT NULL
+        )
+        SELECT doc_id, CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+        FROM shingles GROUP BY doc_id
+        """,
+    )
+    def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """3-gram shingling (dedup building block): distinct shingles/doc."""
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        toks = tokenize(docs).select("doc_id", "token_idx", "token")
+        w = Window.partitionBy("doc_id").orderBy("token_idx")
+        shingles = toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
+            ).alias("shingle"),
+            F.lead("token", 2).over(w).alias("_t2"),
+        ).where(F.col("_t2").isNotNull())
+        return shingles.groupBy("doc_id").agg(
+            F.countDistinct("shingle").alias("n_shingles")
+        )
+
+
+_register_textops()

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target deployment (many executors over a ~100 TB Iceberg
+corpus) while remaining correct on local[N]:
+
+  * AQE on (runtime coalescing + skew-join splitting — web corpora are
+    host-skewed);
+  * Arrow enabled for every pandas-UDF kernel;
+  * shuffle partitions sized from parallelism (overridable; on a real
+    cluster set ~2-3x total cores / target ~128-256MB per partition);
+  * broadcast threshold left at default — dimension tables (gazetteers,
+    entity dictionaries) are broadcast explicitly with F.broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dere_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,191 @@
+"""Task-schema system: the declarative core of the engine.
+
+A task specification declares *what* to extract — span types (mentions to
+detect or take as given), frame types (typed relations anchored at a trigger
+span), and typed, cardinality-bounded slots. The engine compiles a spec into
+a staged DataFrame plan; the spec itself never leaves the driver.
+
+Semantics mirror the reference's schema system
+(/root/reference/dere/taskspec.py:7-152): frozen dataclasses, frame types
+hashed/equated by name only, slot `types` a union over span and frame types
+(frames may recursively fill slots of other frames), per-slot cardinality
+bounds with ``None`` = unbounded, and a two-pass XML loader whose first pass
+builds a symbol table of all span/frame names so the second pass can resolve
+forward and recursive references. The ``span:``/``frame:`` name-prefix
+convention in lookups is preserved.
+
+This is a fresh implementation — no code is taken from the reference.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+
+@dataclass(frozen=True)
+class SpanType:
+    """A mention type. ``predict=False`` marks *given* input (visible to
+    models); ``predict=True`` marks types the engine must detect.
+    (reference: dere/taskspec.py:7-10)"""
+
+    name: str
+    predict: bool
+
+
+@dataclass(frozen=True)
+class FrameType:
+    """A typed relation ("event"). Identity is the name alone so that the
+    two-pass loader can create the object first and patch ``slot_types`` in
+    once all symbols exist. (reference: dere/taskspec.py:13-30)
+
+    Anchor convention: the FIRST slot is the anchor — the trigger span that
+    lexically anchors the frame in text (reference:
+    dere/models/_baseline/slot_classifier.py:273-275)."""
+
+    name: str
+    slot_types: Tuple["SlotType", ...] = field(default_factory=tuple)
+
+    def slot(self, name: str) -> Optional["SlotType"]:
+        for st in self.slot_types:
+            if st.name == name:
+                return st
+        return None
+
+    @property
+    def anchor_slot(self) -> "SlotType":
+        return self.slot_types[0]
+
+    def __hash__(self) -> int:
+        return hash(self.name)
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, FrameType):
+            return NotImplemented
+        return self.name == other.name
+
+
+@dataclass(frozen=True)
+class SlotType:
+    """A named, typed edge-set of a frame. ``types`` is a union type over
+    SpanTypes and FrameTypes; cardinality bounds are inclusive and ``None``
+    means unbounded. (reference: dere/taskspec.py:33-38)"""
+
+    name: str
+    types: Tuple[Union[FrameType, SpanType], ...]
+    min_cardinality: Optional[int] = 1
+    max_cardinality: Optional[int] = 1
+
+
+_SPAN_PREFIX = "span:"
+_FRAME_PREFIX = "frame:"
+
+
+@dataclass(frozen=True)
+class TaskSpecification:
+    """The full declared schema. Lookup helpers accept the optional
+    ``span:`` / ``frame:`` disambiguating prefixes, matching the reference
+    convention (dere/taskspec.py:41-79)."""
+
+    span_types: Tuple[SpanType, ...]
+    frame_types: Tuple[FrameType, ...]
+
+    def span_type(self, name: str) -> Optional[SpanType]:
+        if name.startswith(_SPAN_PREFIX):
+            name = name[len(_SPAN_PREFIX):]
+        return next((t for t in self.span_types if t.name == name), None)
+
+    def frame_type(self, name: str) -> Optional[FrameType]:
+        if name.startswith(_FRAME_PREFIX):
+            name = name[len(_FRAME_PREFIX):]
+        return next((t for t in self.frame_types if t.name == name), None)
+
+    def type_lookup(self, name: str) -> Optional[Union[SpanType, FrameType]]:
+        want_span = want_frame = True
+        if name.startswith(_SPAN_PREFIX):
+            name, want_frame = name[len(_SPAN_PREFIX):], False
+        elif name.startswith(_FRAME_PREFIX):
+            name, want_span = name[len(_FRAME_PREFIX):], False
+        if want_span:
+            t = next((t for t in self.span_types if t.name == name), None)
+            if t is not None:
+                return t
+        if want_frame:
+            return next((t for t in self.frame_types if t.name == name), None)
+        return None
+
+    @property
+    def target_span_types(self) -> Tuple[SpanType, ...]:
+        """Span types the engine must detect (predict=True)."""
+        return tuple(t for t in self.span_types if t.predict)
+
+    @property
+    def given_span_types(self) -> Tuple[SpanType, ...]:
+        return tuple(t for t in self.span_types if not t.predict)
+
+
+def _parse_bool(s: str) -> bool:
+    return s == "True"
+
+
+def load_task_spec(path: str) -> TaskSpecification:
+    """Two-pass XML loader (semantics of dere/taskspec.py:83-152).
+
+    Pass 1 registers every span and frame name in a symbol table (frames as
+    empty shells); pass 2 resolves each slot's ``types`` attribute — a
+    comma-separated list of names, optionally ``span:``/``frame:`` prefixed —
+    against that table, which is what allows frames to reference frames
+    declared later (recursive schemas like BioNLP Regulation).
+
+    Cardinality attributes: ``cardinality`` sets both bounds;
+    ``mincardinality``/``maxcardinality`` set each independently; an absent
+    attribute means unbounded (``None``).
+    """
+    root = ET.parse(path).getroot()
+
+    span_types: Dict[str, SpanType] = {}
+    frame_types: Dict[str, FrameType] = {}
+    symbols: Dict[str, Union[SpanType, FrameType]] = {}
+
+    for section in root:
+        if section.tag == "spans":
+            for el in section:
+                if el.tag != "span":
+                    continue
+                st = SpanType(el.attrib["name"], _parse_bool(el.attrib["predict"]))
+                span_types[st.name] = st
+                symbols[st.name] = st
+                symbols[_SPAN_PREFIX + st.name] = st
+        elif section.tag == "frames":
+            for el in section:
+                if el.tag != "frame":
+                    continue
+                ft = FrameType(el.attrib["name"])
+                frame_types[ft.name] = ft
+                symbols[ft.name] = ft
+                symbols[_FRAME_PREFIX + ft.name] = ft
+
+    for section in root:
+        if section.tag != "frames":
+            continue
+        for el in section:
+            if el.tag != "frame":
+                continue
+            slots: List[SlotType] = []
+            for slot_el in el:
+                type_names = [n.strip() for n in slot_el.attrib["types"].split(",")]
+                filler_types = tuple(symbols[n] for n in type_names)
+                min_card: Optional[int] = None
+                max_card: Optional[int] = None
+                if "mincardinality" in slot_el.attrib:
+                    min_card = int(slot_el.attrib["mincardinality"])
+                if "maxcardinality" in slot_el.attrib:
+                    max_card = int(slot_el.attrib["maxcardinality"])
+                if "cardinality" in slot_el.attrib:
+                    min_card = max_card = int(slot_el.attrib["cardinality"])
+                slots.append(SlotType(slot_el.attrib["name"], filler_types, min_card, max_card))
+            shell = frame_types[el.attrib["name"]]
+            object.__setattr__(shell, "slot_types", tuple(slots))
+
+    return TaskSpecification(tuple(span_types.values()), tuple(frame_types.values()))

@@ -1,0 +1,93 @@
+"""The webtext KG-construction task: schema, gazetteers, and the staged
+pipeline over the driver's Common-Crawl-style `documents` table.
+
+This is the engine's flagship end-to-end path (SURVEY.md §7.2): a
+deterministic, fully relational instantiation of the DeRE predict lifecycle
+(/root/reference/dere/__main__.py:196-219 →
+dere/models/_baseline/{span,slot}_classifier.py predict paths):
+
+  documents --tokenize--> tokens --gazetteer ⋈--> spans
+            --whitelist self-⋈--> pairs --score+rank--> frames
+            --entity link--> triples
+
+Every stage is pure DataFrame ops (broadcast joins, window functions) —
+zero Python UDFs — so the whole plan runs inside whole-stage codegen and
+scales linearly with executors; documents are the unit of parallelism end
+to end.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dere_spark.operators.frames import assemble_frames, best_fillers, score_pairs
+from dere_spark.operators.pairs import candidate_pairs, whitelist_df
+from dere_spark.operators.spans import detect_spans, gazetteer_df
+from dere_spark.operators.tokenize import tokenize
+from dere_spark.operators.triples import entity_dictionary, frames_to_triples
+from dere_spark.plans.compiler import PlanSpec, compile_plan
+from dere_spark.sources.documents import load_documents
+from dere_spark.taskspec import TaskSpecification, load_task_spec
+
+SPEC_PATH = os.path.join(os.path.dirname(__file__), "specs", "webtext.xml")
+
+#: Gazetteers for the webtext schema — the deterministic span "model"
+#: (reference analog: model-specs/training_gazetteer_bionlp consumed at
+#: dere/models/_baseline/span_classifier.py:294-322).
+GAZETTEERS: Dict[str, tuple] = {
+    "Operator": ("join", "filter", "sort", "scan", "merge", "agg", "hash", "group", "window"),
+    "Object": (
+        "table", "row", "column", "line", "part", "key", "value", "data",
+        "query", "vector", "stream", "batch", "customer", "spark", "order",
+    ),
+    "Qualifier": ("fast", "slow", "small", "big", "dup"),
+}
+
+#: Alias head of the entity dictionary (broadcast at the link join):
+#: canonical ids for the highest-frequency surfaces.
+ENTITY_ALIASES: Dict[str, str] = {
+    "spark": "ent:apache_spark",
+    "customer": "ent:customer",
+}
+
+MAX_TOKEN_DISTANCE = 3
+
+
+def load_webtext_spec() -> TaskSpecification:
+    return load_task_spec(SPEC_PATH)
+
+
+def webtext_plan() -> PlanSpec:
+    return compile_plan(load_webtext_spec())
+
+
+def build_stages(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    """Construct every stage of the pipeline lazily; nothing executes until
+    an action runs. Returned dict keys are stage names -> DataFrames."""
+    plan = webtext_plan()
+    documents = load_documents(spark, sf_dir)
+    tokens = tokenize(documents)
+    gaz = gazetteer_df(spark, GAZETTEERS)
+    spans = detect_spans(tokens, gaz)
+    wl = whitelist_df(spark, plan)
+    pairs = candidate_pairs(spans, wl, MAX_TOKEN_DISTANCE)
+    ranked = best_fillers(score_pairs(pairs))
+    frames = assemble_frames(ranked, plan)
+    dictionary = entity_dictionary(spark, ENTITY_ALIASES)
+    triples = frames_to_triples(frames, dictionary)
+    return {
+        "documents": documents,
+        "tokens": tokens,
+        "spans": spans,
+        "pairs": pairs,
+        "frames": frames,
+        "triples": triples,
+    }
+
+
+def extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query: documents -> (subj, pred, obj) triples."""
+    return build_stages(spark, sf_dir)["triples"]

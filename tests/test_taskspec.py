@@ -1,0 +1,69 @@
+"""Task-spec loader semantics, checked against all shipped reference specs
+(read-only fixtures) plus our webtext spec — mirrors the contract of the
+reference's two-pass loader (dere/taskspec.py:83-152)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from dere_spark.plans import compile_plan
+from dere_spark.taskspec import FrameType, SpanType, load_task_spec
+from dere_spark.webtext import SPEC_PATH
+
+REFERENCE_SPECS = sorted(glob.glob("/root/reference/task-specs/*.xml"))
+
+
+def test_webtext_spec_loads():
+    spec = load_task_spec(SPEC_PATH)
+    assert {t.name for t in spec.span_types} == {"Operator", "Object", "Qualifier"}
+    op = spec.frame_type("Operation")
+    assert op is not None
+    # anchor convention: first slot is the anchor
+    assert op.anchor_slot.name == "Operation"
+    theme = op.slot("Theme")
+    assert theme.min_cardinality == 1 and theme.max_cardinality == 1
+    manner = op.slot("Manner")
+    assert manner.min_cardinality == 0 and manner.max_cardinality == 1
+
+
+@pytest.mark.parametrize("path", REFERENCE_SPECS)
+def test_reference_specs_load(path):
+    spec = load_task_spec(path)
+    assert spec.span_types and spec.frame_types
+    for ft in spec.frame_types:
+        assert ft.slot_types, f"{ft.name} has no slots"
+
+
+def test_bionlpst_recursive_frames():
+    spec = load_task_spec("/root/reference/task-specs/bionlpst.xml")
+    reg = spec.frame_type("Regulation")
+    theme = reg.slot("Theme")
+    # Theme is union-typed over Protein span and the three regulation
+    # *span* types... per the spec prefix rules, unprefixed names prefer
+    # span types; recursion shows up via frame-typed fillers elsewhere.
+    assert any(isinstance(t, SpanType) for t in theme.types)
+    # prefix lookup honors span:/frame: disambiguation
+    assert isinstance(spec.type_lookup("frame:Regulation"), FrameType)
+    assert isinstance(spec.type_lookup("span:Regulation"), SpanType)
+    # name-only lookup prefers span types (reference order of checks)
+    assert isinstance(spec.type_lookup("Regulation"), SpanType)
+
+
+def test_compile_plan_whitelist():
+    plan = compile_plan(load_task_spec(SPEC_PATH))
+    assert plan.anchor_span_types == {"Operation": "Operator"}
+    assert ("Operator", "Object") in plan.plausible_relations
+    assert ("Operator", "Qualifier") in plan.plausible_relations
+    preds = {lab.predicate for lab in plan.relation_labels}
+    assert preds == {"Operation.Theme", "Operation.Manner"}
+
+
+def test_compile_plan_bionlp():
+    plan = compile_plan(load_task_spec("/root/reference/task-specs/bionlpst.xml"))
+    # every frame type is anchored at its same-named trigger span type
+    assert plan.anchor_span_types["Gene_expression"] == "Gene_expression"
+    # (Gene_expression, Protein) must be a plausible anchor/filler pair
+    labels = plan.plausible_relations[("Gene_expression", "Protein")]
+    assert any(l.predicate == "Gene_expression.Theme" for l in labels)
