@@ -87,32 +87,35 @@ def assemble_frames(ranked: DataFrame, plan: PlanSpec) -> DataFrame:
     fills = ranked.where(F.col("filler_rank") <= max_card[F.col("predicate")])
 
     required = [lab for lab in plan.relation_labels if (lab.min_cardinality or 0) > 0]
-    frame_keys = ["doc_id", "anchor_idx", "frame_type"]
     if required:
-        # anchors that satisfy EVERY min-cardinality slot of their frame type
-        req_counts = (
-            fills.groupBy(*frame_keys)
-            .agg(
-                *[
-                    F.sum(
-                        F.when(
-                            (F.col("slot_name") == lab.slot_name)
-                            & (F.col("frame_type") == lab.frame_type),
-                            1,
-                        ).otherwise(0)
-                    ).alias(f"_n_{lab.frame_type}_{lab.slot_name}")
-                    for lab in required
-                ]
-            )
-        )
+        # Anchors must satisfy EVERY min-cardinality slot of their frame
+        # type. Expressed as per-frame window counts rather than a
+        # groupBy + semi-join: the window's ClusteredDistribution over
+        # (doc_id, anchor_idx, frame_type) is already satisfied by the
+        # corpus's doc_id hash partitioning, so this adds NO exchange and
+        # never recomputes the fills subtree (a semi-join formulation was
+        # benchmarked: it doubled the plan and added two shuffles).
+        wf = Window.partitionBy("doc_id", "anchor_idx", "frame_type")
         cond = None
-        for lab in required:
+        tmp_cols = []
+        for i, lab in enumerate(required):
+            col_name = f"_req_{i}"
+            tmp_cols.append(col_name)
+            fills = fills.withColumn(
+                col_name,
+                F.sum(
+                    F.when(
+                        (F.col("slot_name") == lab.slot_name)
+                        & (F.col("frame_type") == lab.frame_type),
+                        1,
+                    ).otherwise(0)
+                ).over(wf),
+            )
             c = (F.col("frame_type") != lab.frame_type) | (
-                F.col(f"_n_{lab.frame_type}_{lab.slot_name}") >= lab.min_cardinality
+                F.col(col_name) >= lab.min_cardinality
             )
             cond = c if cond is None else (cond & c)
-        valid = req_counts.where(cond).select(*frame_keys)
-        fills = fills.join(valid, frame_keys, "left_semi")
+        fills = fills.where(cond).drop(*tmp_cols)
 
     return fills.select(
         "doc_id",

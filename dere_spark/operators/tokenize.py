@@ -14,10 +14,12 @@ so ``substring(text, left+1, right-left) == token`` holds byte-for-byte —
 that equality IS the reference's round-trip invariant and is exposed as a
 checkable DataFrame (`fidelity_violations`).
 
-Scale: the window prefix-sum partitions by doc_id — no cross-document
-shuffle beyond the hash partitioning Spark already needs, and whole-stage
-codegen covers the entire stage (verified via .explain: single
-WholeStageCodegen span over scan→explode→window).
+Scale: the offset prefix-sum is a window over (doc_id, token_idx). Because
+`load_documents` hash-partitions the corpus on doc_id up front, the window's
+required distribution is ALREADY satisfied — Catalyst inserts no exchange,
+only a per-partition sort. Net shuffle cost of tokenization: zero. (An
+array-level higher-order-function prefix sum was benchmarked and rejected:
+array append inside ``aggregate`` is O(n²) per document.)
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def tokenize(documents: DataFrame, sep: str = " ", text_col: str = "text") -> Da
 
     Whitespace tokenizer with exact character offsets. Deterministic and
     order-stable across parallelism levels (offsets derived from token_idx,
-    not from physical row order).
+    never from physical row order).
     """
     toks = documents.select(
         "doc_id",

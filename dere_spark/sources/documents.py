@@ -40,12 +40,23 @@ def load_documents(
     spark: SparkSession,
     sf_dir: str,
     columns: Optional[Iterable[str]] = None,
+    partition_by_doc: bool = True,
 ) -> DataFrame:
     """Canonical `documents` DataFrame: doc_id:string, text, lang, source.
 
     ``doc_id`` is the document's stable identity (url in production); cast
     to string so parquet bigint ids and real urls share a plan. Selecting
     only ``columns`` (plus doc_id) lets Catalyst prune the scan.
+
+    ``partition_by_doc`` hash-partitions the corpus on doc_id with the
+    session's shuffle-partition count. This is the ONE shuffle the pipeline
+    pays up front: every downstream stage (tokenize, span detect, the
+    candidate self-join, frame assembly) is keyed by doc_id, so a single
+    up-front exchange co-locates the whole per-document dataflow and the
+    self-join needs no further exchange. It also fixes the small-file case
+    where a 1-partition scan would serialize the CPU-heavy explode. On an
+    Iceberg corpus bucketed by url this becomes a no-op (storage-partitioned
+    scan already satisfies the distribution).
     """
     df = load_table(spark, sf_dir, "documents")
     if "url" in df.columns and "doc_id" not in df.columns:
@@ -61,4 +72,7 @@ def load_documents(
     if columns is not None:
         keep = ["doc_id"] + [c for c in columns if c != "doc_id"]
         df = df.select(*keep)
+    if partition_by_doc:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        df = df.repartition(n, "doc_id")
     return df
