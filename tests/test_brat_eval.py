@@ -1,0 +1,163 @@
+"""BRAT IO + evaluation semantics on the reference's tutorial corpus
+(read-only fixtures at /root/reference/tutorial/data)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dere_spark.evaluation import evaluate, frame_eval_counts, span_eval_counts
+from dere_spark.sources.brat import dump_brat, load_brat, span_fidelity_violations
+from dere_spark.taskspec import load_task_spec
+
+TRAIN = "/root/reference/tutorial/data/train"
+TEST = "/root/reference/tutorial/data/test"
+SPEC = "/root/reference/task-specs/bionlpst.xml"
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return load_task_spec(SPEC)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, spec):
+    c = load_brat(spark, TRAIN, spec)
+    for df in c.values():
+        df.persist()
+    return c
+
+
+def test_load_counts(corpus):
+    # 8 docs x 2 lines (title + abstract); 156 T lines of which 8 are
+    # 'Entity' (not in spec -> skipped); 75 E lines, all resolvable.
+    assert corpus["instances"].count() == 16
+    assert corpus["spans"].count() == 148
+    assert corpus["frames"].count() == 75
+    assert span_fidelity_violations(corpus["spans"]).count() == 0
+
+
+def test_given_vs_gold_provenance(corpus):
+    by_source = dict(
+        corpus["spans"].groupBy("source").count().collect()
+    )
+    assert by_source["given"] == 79  # Protein spans from .a1
+    assert by_source["gold"] == 69
+    assert corpus["frames"].where(F.col("source") != "gold").count() == 0
+
+
+def test_self_evaluation_perfect(corpus):
+    r = evaluate(corpus, corpus)
+    assert r.precision() == 1.0 and r.recall() == 1.0
+    # given spans are excluded from evaluation (evaluation.py:18-21)
+    tp_span = sum(v[0] for (k, _), v in r.counts.items() if k == "span")
+    assert tp_span == 69
+    tp_frame = sum(v[0] for (k, _), v in r.counts.items() if k == "frame")
+    assert tp_frame == 75
+
+
+def test_span_eval_detects_fp_fn(spark, corpus):
+    # perturb: shift every Gene_expression span right by 1 -> each becomes
+    # one FP (hypo not in gold) and one FN (gold unmatched)
+    spans = corpus["spans"]
+    perturbed = spans.withColumn(
+        "left",
+        F.when(F.col("span_type") == "Gene_expression", F.col("left") + 1).otherwise(
+            F.col("left")
+        ),
+    )
+    counts = {
+        row["type_name"]: (row["tp"], row["fp"], row["fn"])
+        for row in span_eval_counts(perturbed, spans).collect()
+    }
+    ge = counts["Gene_expression"]
+    assert ge == (0, 19, 19)
+    # untouched types unaffected
+    assert counts["Binding"] == (1, 0, 0)
+
+
+def test_frame_eval_detects_missing_frame(spark, corpus):
+    # drop all Binding frames from hypo -> 1 FN, no FP
+    hypo = dict(corpus)
+    hypo["frames"] = corpus["frames"].where(F.col("frame_type") != "Binding")
+    hypo["slot_fills"] = corpus["slot_fills"].where(
+        F.col("frame_type") != "Binding"
+    )
+    counts = {
+        row["type_name"]: (row["tp"], row["fp"], row["fn"])
+        for row in frame_eval_counts(hypo, corpus).collect()
+    }
+    assert counts["Binding"] == (0, 0, 1)
+    assert counts["Gene_expression"][0] == 20  # unaffected
+
+
+def test_frame_eval_nested_regulation_structure(spark, corpus):
+    # Perturb a filler INSIDE a nested structure: retarget every
+    # frame->frame Theme fill to a different frame. Regulation-family
+    # components change shape -> mismatches on both sides. The matcher must
+    # compare structure, not tags; simple per-frame counting would miss it.
+    fills = corpus["slot_fills"]
+    perturbed = fills.withColumn(
+        "filler_tag",
+        F.when(
+            (F.col("filler_kind") == "frame") & (F.col("slot_name") == "Theme"),
+            F.lit("E999"),
+        ).otherwise(F.col("filler_tag")),
+    )
+    hypo = dict(corpus)
+    hypo["slot_fills"] = perturbed
+    r = frame_eval_counts(hypo, corpus)
+    fp = r.agg(F.sum("fp")).collect()[0][0]
+    fn = r.agg(F.sum("fn")).collect()[0][0]
+    assert fp > 0 and fn > 0
+
+
+def test_dump_round_trip_spans_byte_identical(spark, spec, corpus):
+    # T-lines of the dump must be byte-identical (as a set) to the input
+    # annotation files: indices preserved, absolute offsets re-derived
+    # (reference invariant: brat_corpus_io.py:46-58,158).
+    import glob as g
+
+    dumped = {r["doc_id"]: r for r in dump_brat(corpus, just_predictions=False).collect()}
+    for path in sorted(g.glob(f"{TRAIN}/*.a1")):
+        doc_id = path.rsplit("/", 1)[1][:-3]
+        want = {l for l in open(path).read().splitlines() if l.startswith("T")}
+        got = {l for l in dumped[doc_id]["a1"].splitlines() if l.startswith("T")}
+        assert got == want, doc_id
+    for path in sorted(g.glob(f"{TRAIN}/*.a2")):
+        doc_id = path.rsplit("/", 1)[1][:-3]
+        want = {l for l in open(path).read().splitlines() if l.startswith("T")}
+        # spec-filtered types (Entity) are dropped on load; compare the kept set
+        want = {l for l in want if "\tEntity " not in l}
+        got = {l for l in dumped[doc_id]["a2"].splitlines() if l.startswith("T")}
+        assert got == want, doc_id
+
+
+def test_dump_round_trip_text_byte_identical(spark, corpus):
+    import glob as g
+
+    dumped = {r["doc_id"]: r for r in dump_brat(corpus, just_predictions=False).collect()}
+    for path in sorted(g.glob(f"{TRAIN}/*.txt")):
+        doc_id = path.rsplit("/", 1)[1][:-4]
+        raw = open(path).read()
+        # the reference chops the final char of an unterminated last line
+        # and dumps each instance text + '\n' — reproduce that contract
+        want = "".join(
+            line[:-1] + "\n" if line.endswith("\n") else line[:-1] + "\n"
+            for line in open(path)
+        )
+        assert dumped[doc_id]["txt"] == want, doc_id
+
+
+def test_dump_reload_evaluates_perfect(spark, spec, corpus, tmp_path):
+    # full round trip: dump -> write files -> reload -> evaluate vs original
+    out = tmp_path / "dump"
+    out.mkdir()
+    for r in dump_brat(corpus, just_predictions=False).collect():
+        (out / f"{r['doc_id']}.txt").write_text(r["txt"])
+        (out / f"{r['doc_id']}.a1").write_text(r["a1"])
+        (out / f"{r['doc_id']}.a2").write_text(r["a2"])
+    reloaded = load_brat(spark, str(out), spec)
+    assert span_fidelity_violations(reloaded["spans"]).count() == 0
+    r = evaluate(reloaded, corpus)
+    assert r.precision() == 1.0 and r.recall() == 1.0, "\n" + r.report()
