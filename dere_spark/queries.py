@@ -623,3 +623,335 @@ def _register_textops() -> None:
 
 
 _register_textops()
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis ops (training-data pipeline; SURVEY
+# brief extras). All md5-based so Spark and DuckDB agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SHINGLE_CTES = """
+WITH raw_tokens AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INT) AS token_idx
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle,
+           lead(token, 2) OVER w AS _t2
+    FROM raw_tokens WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+  ) WHERE _t2 IS NOT NULL
+),
+sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         min(md5(seed || '|' || shingle)) AS minhash
+  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed % 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY doc_id, seed % 4
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         coalesce(i.n_inter, 0) / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+  FROM cand_pairs p
+  LEFT JOIN (
+    SELECT p2.doc_a, p2.doc_b, count(*) AS n_inter
+    FROM cand_pairs p2
+    JOIN shingles s1 ON s1.doc_id = p2.doc_a
+    JOIN shingles s2 ON s2.doc_id = p2.doc_b AND s2.shingle = s1.shingle
+    GROUP BY p2.doc_a, p2.doc_b
+  ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)
+"""
+
+
+def _register_dedup() -> None:
+    from dere_spark.operators.dedup import (
+        candidate_pairs_lsh,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+        near_dup_clusters,
+        shingles,
+        simhash,
+    )
+    from dere_spark.operators.graph import connected_components
+
+    def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        return shingles(tokenize(docs).select("doc_id", "token_idx", "token"), n=3)
+
+    @register(
+        "dedup_minhash_signatures",
+        SHINGLE_CTES + "SELECT doc_id, seed, minhash FROM sigs",
+    )
+    def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash signatures: k=16 md5 hash family, min per (doc, seed)."""
+        return minhash_signatures(_shingles(spark, sf_dir), num_hashes=16)
+
+    @register(
+        "dedup_lsh_candidates",
+        SHINGLE_CTES + "SELECT doc_a, doc_b FROM cand_pairs",
+    )
+    def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LSH banding (4 bands x 4 rows): candidate near-dup pairs."""
+        sigs = minhash_signatures(_shingles(spark, sf_dir), num_hashes=16)
+        return candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+
+    @register(
+        "dedup_jaccard_verified",
+        SHINGLE_CTES
+        + "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM verified",
+    )
+    def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact Jaccard verification of LSH candidates (shingle join)."""
+        sh = _shingles(spark, sf_dir)
+        sigs = minhash_signatures(sh, num_hashes=16)
+        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        return jaccard_verify(pairs, sh).withColumn(
+            "jaccard", F.round("jaccard", 6)
+        )
+
+    @register(
+        "dedup_clusters",
+        SHINGLE_CTES.replace("WITH raw_tokens", "WITH RECURSIVE raw_tokens", 1)
+        + """,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.8),
+        nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.x, reach.r FROM reach
+          JOIN (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges) e
+            ON e.y = reach.node
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+    )
+    def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup clusters: connected components (hash-min label
+        propagation) over verified pairs — the scaled-up Equiv closure
+        (reference: deRE_evaluation.py:92-99)."""
+        sh = _shingles(spark, sf_dir)
+        sigs = minhash_signatures(sh, num_hashes=16)
+        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        return near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
+
+    @register(
+        "dedup_simhash",
+        SHINGLE_CTES
+        + """,
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS lo
+          FROM shingles
+        ),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN CAST(floor(hi / pow(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_hi,
+                 sum(CASE WHEN CAST(floor(lo / pow(2, bit)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v_lo
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+          GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v_hi > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+               CAST(sum(CASE WHEN v_lo > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
+        FROM votes GROUP BY doc_id
+        """,
+    )
+    def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """64-bit SimHash fingerprints as exact 32-bit halves."""
+        return simhash(_shingles(spark, sf_dir))
+
+
+_register_dedup()
+
+
+def _register_similarity() -> None:
+    from dere_spark.operators.similarity import assign_buckets, cosine, cosine_topk
+
+    DIM = 64
+
+    @register(
+        "sim_cosine_topk",
+        f"""
+        SELECT vec_id, round(
+          list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt({DIM})), 6) AS cos_sim
+        FROM embeddings
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+    )
+    def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Brute-force cosine top-k vs the all-ones probe vector; the
+        exact baseline every ANN variant is verified against."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return cosine_topk(emb, [1.0] * DIM, k=10)
+
+    @register(
+        "sim_ivf_buckets",
+        f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8
+        ),
+        scored AS (
+          SELECT e.vec_id, c.centroid_id,
+            round(
+              list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(c.centroid, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+              6) AS c_sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id ASC) AS rk
+          FROM scored
+        )
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM assigned WHERE rk = 1 GROUP BY centroid_id
+        """,
+    )
+    def q_ivf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF build: deterministic centroids (first 8 vectors), each
+        vector assigned to its nearest centroid; bucket sizes returned.
+        Search probes one bucket instead of the full corpus."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        assigned = assign_buckets(emb, cents)
+        return assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n_vectors")
+        )
+
+
+_register_similarity()
+
+
+def _register_text_analysis() -> None:
+    from dere_spark.operators.text import (
+        DEFAULT_MARKERS,
+        content_fingerprint,
+        language_id,
+        language_markers_df,
+        quality_scores,
+        token_stats,
+    )
+
+    marker_values = ", ".join(
+        f"('{lang}', '{tok}')"
+        for lang, toks in sorted(DEFAULT_MARKERS.items())
+        for tok in sorted(toks)
+    )
+
+    @register(
+        "text_language_id",
+        f"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        markers(cand_lang, marker) AS (VALUES {marker_values}),
+        totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+        hits AS (
+          SELECT doc_id, cand_lang, count(*) AS n_hits
+          FROM toks JOIN markers ON lower(token) = marker
+          GROUP BY doc_id, cand_lang
+        ),
+        best AS (
+          SELECT doc_id, cand_lang, n_hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand_lang ASC) AS rk
+          FROM hits
+        )
+        SELECT t.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+               round(coalesce(b.n_hits, 0) / t.n_tokens, 6) AS lang_score
+        FROM totals t LEFT JOIN best b ON b.doc_id = t.doc_id AND b.rk = 1
+        """,
+    )
+    def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Language-ID heuristic: marker-token overlap, argmax per doc."""
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+        return language_id(toks, language_markers_df(spark))
+
+    @register(
+        "text_quality_scores",
+        """
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 count(DISTINCT token) AS n_types,
+                 sum(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END) AS n_stop,
+                 sum(CASE WHEN regexp_matches(token, '^[a-z]+$') THEN 1 ELSE 0 END) AS n_alpha,
+                 sum(len(token)) AS sum_len
+          FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_types / n_tokens, 6) AS type_token_ratio,
+               round(n_stop / n_tokens, 6) AS stopword_ratio,
+               round(n_alpha / n_tokens, 6) AS alpha_ratio,
+               round(sum_len / n_tokens, 6) AS mean_token_len
+        FROM agg
+        """,
+    )
+    def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pretraining quality-filter features per document."""
+        return quality_scores(load_documents(spark, sf_dir, columns=["text"]))
+
+    @register(
+        "text_token_stats",
+        """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subwords,
+               CAST(len(text) AS INT) AS n_chars
+        FROM documents
+        """,
+    )
+    def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token counting: whitespace + BPE-ish regex segmentation."""
+        return token_stats(load_documents(spark, sf_dir, columns=["text"]))
+
+    @register(
+        "text_fingerprint",
+        """
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(string_split(text, ' ')) AS token
+          FROM documents
+        )
+        SELECT doc_id,
+               md5(string_agg(DISTINCT token, ' ' ORDER BY token)) AS fingerprint
+        FROM toks GROUP BY doc_id
+        """,
+    )
+    def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Order-insensitive content fingerprint (sorted distinct tokens)."""
+        return content_fingerprint(load_documents(spark, sf_dir, columns=["text"]))
+
+
+_register_text_analysis()
