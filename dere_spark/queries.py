@@ -955,3 +955,56 @@ def _register_text_analysis() -> None:
 
 
 _register_text_analysis()
+
+
+def _register_bio_kernels() -> None:
+    from dere_spark.operators.bio import bio_decode, bio_encode
+    from dere_spark.operators.kernels import LinearPairScorer, score_pairs_batched
+
+    @register(
+        "bio_roundtrip_spans",
+        KG_CTES
+        + """
+        SELECT doc_id, 'Object' AS span_type, "left", "right",
+               CAST(1 AS BIGINT) AS n_tokens
+        FROM spans WHERE span_type = 'Object'
+        """,
+    )
+    def q_bio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BIO encode (W2) then decode (W3) must reproduce the original
+        span set — the reference's sequence-labeling round trip
+        (span_classifier.py:258-292, 415-449)."""
+        st = build_stages(spark, sf_dir)
+        labeled = bio_encode(st["tokens"], st["spans"], "Object")
+        return bio_decode(labeled, "Object")
+
+    @register(
+        "kernel_pair_scores",
+        KG_CTES
+        + """
+        SELECT doc_id, anchor_idx, filler_idx, predicate, token_distance,
+               round(CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE) * token_distance, 6) AS model_score
+        FROM pairs
+        """,
+    )
+    def q_kernel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arrow-batched model kernel (M4 pattern): a broadcast linear
+        scorer over candidate pairs via mapInPandas. The oracle recomputes
+        the same linear form in SQL — proving the UDF path agrees with
+        relational semantics bit-for-bit."""
+        pairs = build_stages(spark, sf_dir)["pairs"].select(
+            "doc_id", "anchor_idx", "filler_idx", "predicate",
+            F.col("token_distance").cast("double").alias("token_distance"),
+        )
+        model = LinearPairScorer(
+            feature_cols=("token_distance",), weights=(-0.25,), bias=1.0
+        )
+        scored = score_pairs_batched(pairs, model)
+        return scored.select(
+            "doc_id", "anchor_idx", "filler_idx", "predicate",
+            F.col("token_distance").cast("int").alias("token_distance"),
+            "model_score",
+        )
+
+
+_register_bio_kernels()

@@ -1,0 +1,132 @@
+"""Unit tests for BIO encode/decode, Arrow kernels, multimodal plumbing,
+and connected components — the pure-logic operators (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dere_spark.operators.bio import bio_decode, bio_encode
+from dere_spark.operators.graph import connected_components
+from dere_spark.operators.kernels import (
+    GazetteerTagger,
+    LinearPairScorer,
+    score_pairs_batched,
+    tag_tokens_batched,
+)
+from dere_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
+    RealCodec,
+    StubCodec,
+    extract_features,
+)
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, token_idx int, left int, right int, bio string"
+    )
+
+
+def test_bio_decode_basic(spark):
+    # B I I -> one span; O between spans splits
+    rows = [
+        ("d", 0, 0, 3, "B"), ("d", 1, 4, 7, "I"), ("d", 2, 8, 11, "I"),
+        ("d", 3, 12, 15, "O"), ("d", 4, 16, 19, "B"),
+    ]
+    out = {
+        (r["left"], r["right"], r["n_tokens"])
+        for r in bio_decode(_labeled(spark, rows), "T").collect()
+    }
+    assert out == {(0, 11, 3), (16, 19, 1)}
+
+
+def test_bio_decode_orphan_i_modes(spark):
+    # O I I: non-strict opens a span at the orphan I; strict drops it
+    rows = [("d", 0, 0, 3, "O"), ("d", 1, 4, 7, "I"), ("d", 2, 8, 11, "I")]
+    non_strict = bio_decode(_labeled(spark, rows), "T", strict=False).collect()
+    assert [(r["left"], r["right"]) for r in non_strict] == [(4, 11)]
+    assert bio_decode(_labeled(spark, rows), "T", strict=True).count() == 0
+
+
+def test_bio_decode_leading_orphan_i(spark):
+    rows = [("d", 0, 0, 3, "I"), ("d", 1, 4, 7, "I"), ("d", 2, 8, 11, "B")]
+    out = sorted(
+        (r["left"], r["right"])
+        for r in bio_decode(_labeled(spark, rows), "T", strict=False).collect()
+    )
+    assert out == [(0, 7), (8, 11)]
+    strict = bio_decode(_labeled(spark, rows), "T", strict=True).collect()
+    assert [(r["left"], r["right"]) for r in strict] == [(8, 11)]
+
+
+def test_bio_encode_decode_round_trip(spark):
+    # multi-token spans: tokens 1-2 and token 4 are spans
+    tokens = spark.createDataFrame(
+        [("d", i, f"t{i}", i * 4, i * 4 + 3) for i in range(6)],
+        "doc_id string, token_idx int, token string, left int, right int",
+    )
+    spans = spark.createDataFrame(
+        [("d", "T", 4, 11), ("d", "T", 16, 19)],
+        "doc_id string, span_type string, left int, right int",
+    )
+    labeled = bio_encode(tokens, spans, "T")
+    bio = {r["token_idx"]: r["bio"] for r in labeled.collect()}
+    assert bio == {0: "O", 1: "B", 2: "I", 3: "O", 4: "B", 5: "O"}
+    decoded = {
+        (r["left"], r["right"]) for r in bio_decode(labeled, "T").collect()
+    }
+    assert decoded == {(4, 11), (16, 19)}
+
+
+def test_linear_pair_scorer_batched(spark):
+    pairs = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 3.0, -1.0)], "id int, f1 double, f2 double"
+    )
+    model = LinearPairScorer(feature_cols=("f1", "f2"), weights=(0.5, 2.0), bias=1.0)
+    out = {r["id"]: r["model_score"] for r in score_pairs_batched(pairs, model).collect()}
+    assert out == {1: 5.5, 2: 0.5}
+
+
+def test_gazetteer_tagger_batched(spark):
+    tokens = spark.createDataFrame(
+        [("d", 0, "JOIN"), ("d", 1, "widget"), ("d", 2, "spark")],
+        "doc_id string, token_idx int, token string",
+    )
+    model = GazetteerTagger(gazetteers=(("Operator", ("join",)), ("Object", ("spark",))))
+    out = {r["token_idx"]: r["bio_tag"] for r in tag_tokens_batched(tokens, model).collect()}
+    assert out == {0: "B-Operator", 1: "O", 2: "B-Object"}
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")],
+        "src string, dst string",
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p"}
+
+
+def test_multimodal_stub_features(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", "d1", "image", "image/png", bytearray(b"fakepng"), 2, 2, None),
+            ("m2", "d1", "audio", "audio/wav", bytearray(b""), None, None, 1000),
+            ("m3", None, "video", None, None, None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = extract_features(media, StubCodec(dim=8))
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert feats.schema == FEATURE_SCHEMA
+    assert rows["m1"]["n_bytes"] == 7 and len(rows["m1"]["feature"]) == 8
+    assert rows["m3"]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, StubCodec(dim=8)).collect()}
+    assert again["m1"] == rows["m1"]["feature"]
+
+
+def test_real_codec_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        RealCodec.decode(b"x", "image")
