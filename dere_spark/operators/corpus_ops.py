@@ -1,0 +1,33 @@
+"""Corpus-level operators: splits, provenance filters, unions.
+
+`deterministic_split` replaces the reference's seedless per-instance
+Bernoulli split (dere/corpus.py:133-155) with a content-derived split:
+bucket = md5(doc_id) as a uniform [0,1) value. Unlike ``randomSplit`` this
+is reproducible across engines, sessions, parallelism levels AND cluster
+sizes — a requirement the moment training jobs resume from checkpoints.
+(The reference's cross-reference-preserving deep copy is unnecessary here:
+DataFrames are immutable views, so a "split" is just two filters.)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def split_bucket(col: Column) -> Column:
+    """Uniform [0,1) value from md5 of a key column (engine-portable:
+    DuckDB spells it ('0x'||substr(md5(k),1,8))::BIGINT / 2^32)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(2 ** 32))
+
+
+def deterministic_split(
+    df: DataFrame, ratio: float, key: str = "doc_id"
+) -> Tuple[DataFrame, DataFrame]:
+    """(train, dev) split: rows with bucket(key) < ratio go left."""
+    b = split_bucket(F.col(key))
+    return df.where(b < ratio), df.where(b >= ratio)
