@@ -51,6 +51,74 @@ def tokenize(documents: DataFrame, sep: str = " ", text_col: str = "text") -> Da
     return toks
 
 
+def tokenize_arrow(
+    documents: DataFrame, sep: str = " ", text_col: str = "text"
+) -> DataFrame:
+    """Shuffle-free tokenizer: offsets via a vectorized Arrow kernel.
+
+    Same output contract as `tokenize`, different physical strategy: the
+    prefix sum runs INSIDE each document row (ragged cumsum over the
+    batch's flattened token lengths — one numpy pass, no per-row Python),
+    so no shuffle, no sort, no window. On a bandwidth-bound cluster this
+    removes the pipeline's largest exchange: the full token stream.
+
+    mapInPandas over (doc_id, text) -> exploded token rows; the kernel
+    flattens every document's tokens in the Arrow batch into single numpy
+    arrays, cumsums once, and re-bases each document's offsets by segment.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    sep_len = len(sep)
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("token_idx", IntegerType()),
+            StructField("token", StringType()),
+            StructField("left", IntegerType()),
+            StructField("right", IntegerType()),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            token_lists = batch[text_col].str.split(sep)
+            counts = token_lists.str.len().to_numpy()
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+            lens = np.char.str_len(flat.astype(str)).astype(np.int64)
+            # exclusive prefix sum of (len + sep) over the flat stream
+            csum = np.concatenate(([0], np.cumsum(lens + sep_len)[:-1]))
+            # re-base each document's segment to start at 0
+            seg_starts = np.repeat(
+                csum[np.concatenate(([0], np.cumsum(counts)[:-1]))], counts
+            )
+            left = (csum - seg_starts).astype(np.int32)
+            right = (left + lens).astype(np.int32)
+            token_idx = (
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
+                    "token_idx": token_idx,
+                    "token": flat,
+                    "left": left,
+                    "right": right,
+                }
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(kernel, out_schema)
+
+
 def fidelity_violations(documents: DataFrame, tokens: DataFrame) -> DataFrame:
     """Rows where substring(text, left, right) != token — must be empty.
 
