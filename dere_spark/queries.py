@@ -1008,3 +1008,236 @@ def _register_bio_kernels() -> None:
 
 
 _register_bio_kernels()
+
+
+def _register_round1_extras() -> None:
+    from dere_spark.operators.corpus_ops import split_bucket
+
+    @register(
+        "kg_gold_arc_join",
+        KG_CTES
+        + """
+        , gold_arcs AS (
+          SELECT doc_id, anchor_idx, filler_idx, predicate AS gold_label
+          FROM pairs WHERE (anchor_idx + filler_idx) % 5 = 0
+        )
+        SELECT p.doc_id, p.anchor_idx, p.filler_idx, p.predicate,
+               coalesce(g.gold_label, 'Nothing') AS label
+        FROM pairs p LEFT JOIN gold_arcs g
+          ON p.doc_id = g.doc_id AND p.anchor_idx = g.anchor_idx
+         AND p.filler_idx = g.filler_idx AND p.predicate = g.gold_label
+        """,
+    )
+    def q_gold_arc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """J2: left join of candidate pairs against gold arcs with default
+        label 'Nothing' (slot_classifier.py:348-382)."""
+        pairs = build_stages(spark, sf_dir)["pairs"]
+        gold = pairs.where((F.col("anchor_idx") + F.col("filler_idx")) % 5 == 0).select(
+            F.col("doc_id").alias("g_doc"),
+            F.col("anchor_idx").alias("g_anchor"),
+            F.col("filler_idx").alias("g_filler"),
+            F.col("predicate").alias("gold_label"),
+        )
+        return (
+            pairs.join(
+                gold,
+                (F.col("doc_id") == F.col("g_doc"))
+                & (F.col("anchor_idx") == F.col("g_anchor"))
+                & (F.col("filler_idx") == F.col("g_filler"))
+                & (F.col("predicate") == F.col("gold_label")),
+                "left",
+            )
+            .select(
+                "doc_id", "anchor_idx", "filler_idx", "predicate",
+                F.coalesce("gold_label", F.lit("Nothing")).alias("label"),
+            )
+        )
+
+    @register(
+        "kg_between_tokens",
+        KG_CTES
+        + """
+        SELECT f.doc_id, f.anchor_idx, f.filler_idx,
+               coalesce(string_agg(t.token, ' ' ORDER BY t.token_idx), '') AS between_text
+        FROM frames f
+        LEFT JOIN tokens t
+          ON t.doc_id = f.doc_id
+         AND t.token_idx > least(f.anchor_idx, f.filler_idx)
+         AND t.token_idx < greatest(f.anchor_idx, f.filler_idx)
+        WHERE f.slot_name = 'Theme'
+        GROUP BY f.doc_id, f.anchor_idx, f.filler_idx
+        """,
+    )
+    def q_between_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """W4: token sequence strictly between two spans in token order
+        (slot_classifier.py:706-726) — ordered collect per frame."""
+        st = build_stages(spark, sf_dir)
+        f = st["frames"].where(F.col("slot_name") == "Theme").select(
+            "doc_id", "anchor_idx", "filler_idx"
+        )
+        t = st["tokens"].select("doc_id", "token_idx", "token")
+        j = f.join(
+            t,
+            (f["doc_id"] == t["doc_id"])
+            & (t["token_idx"] > F.least(f["anchor_idx"], f["filler_idx"]))
+            & (t["token_idx"] < F.greatest(f["anchor_idx"], f["filler_idx"])),
+            "left",
+        ).select(f["doc_id"], "anchor_idx", "filler_idx", "token_idx", "token")
+        return j.groupBy("doc_id", "anchor_idx", "filler_idx").agg(
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.filter(
+                                F.collect_list(F.struct("token_idx", "token")),
+                                lambda s: s["token_idx"].isNotNull(),
+                            )
+                        ),
+                        lambda s: s["token"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("between_text")
+        )
+
+    @register(
+        "eval_prf",
+        _EVAL_CTES
+        + """
+        , outcomes AS (
+          SELECT h.span_type, CASE WHEN g.doc_id IS NULL THEN 'fp' ELSE 'tp' END AS o
+          FROM hypo h LEFT JOIN gold g
+            ON h.doc_id = g.doc_id AND h.span_type = g.span_type
+           AND h."left" = g."left" AND h."right" = g."right"
+        ), fns AS (
+          SELECT g.span_type, count(*) AS fn FROM gold g
+          ANTI JOIN hypo h
+            ON h.doc_id = g.doc_id AND h.span_type = g.span_type
+           AND h."left" = g."left" AND h."right" = g."right"
+          GROUP BY g.span_type
+        ), counts AS (
+          SELECT o.span_type,
+                 sum(CASE WHEN o = 'tp' THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN o = 'fp' THEN 1 ELSE 0 END) AS fp,
+                 coalesce(any_value(f.fn), 0) AS fn
+          FROM outcomes o LEFT JOIN fns f ON f.span_type = o.span_type
+          GROUP BY o.span_type
+        )
+        SELECT span_type,
+               round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+               round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+               round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+        FROM counts
+        """,
+    )
+    def q_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A3: precision/recall/F1 derived from TP/FP/FN counts
+        (dere/evaluation.py:233-291), zero-safe."""
+        hypo, gold = _hypo_gold(spark, sf_dir)
+        key = ["doc_id", "span_type", "left", "right"]
+        tp = hypo.join(gold, key, "left_semi").groupBy("span_type").agg(
+            F.count(F.lit(1)).alias("tp"))
+        fp = hypo.join(gold, key, "left_anti").groupBy("span_type").agg(
+            F.count(F.lit(1)).alias("fp"))
+        fn = gold.join(hypo, key, "left_anti").groupBy("span_type").agg(
+            F.count(F.lit(1)).alias("fn"))
+        c = (
+            tp.join(fp, "span_type", "full_outer")
+            .join(fn, "span_type", "full_outer")
+            .select(
+                "span_type",
+                F.coalesce("tp", F.lit(0)).alias("tp"),
+                F.coalesce("fp", F.lit(0)).alias("fp"),
+                F.coalesce("fn", F.lit(0)).alias("fn"),
+            )
+        )
+        return c.select(
+            "span_type",
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+            F.round(
+                F.lit(2.0) * F.col("tp") / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn")), 6
+            ).alias("f1"),
+        )
+
+    @register(
+        "corpus_split_stats",
+        """
+        SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0 < 0.8
+                    THEN 'train' ELSE 'dev' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+        """,
+    )
+    def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """O3: deterministic corpus split (md5-bucket Bernoulli analog of
+        dere/corpus.py:133-155, reproducible across engines)."""
+        docs = load_documents(spark, sf_dir, columns=[])
+        return (
+            docs.select(
+                F.when(split_bucket(F.col("doc_id")) < 0.8, "train")
+                .otherwise("dev")
+                .alias("split")
+            )
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    @register(
+        "events_cube_counts",
+        """
+        SELECT coalesce(event_type, '[ALL]') AS event_type,
+               coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), '[ALL]') AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+        FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
+        """,
+    )
+    def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cube / grouping-sets aggregation with date truncation (SURVEY
+        notes these as Spark-native extensions of the manual rollups)."""
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day_ts"),
+            "value",
+        )
+        return (
+            ev.cube("event_type", "day_ts")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("decimal(38,4)")
+                .alias("total_value"),
+            )
+            .select(
+                F.coalesce("event_type", F.lit("[ALL]")).alias("event_type"),
+                F.coalesce(
+                    F.date_format("day_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("[ALL]")
+                ).alias("day"),
+                "n",
+                "total_value",
+            )
+        )
+
+    @register(
+        "events_json_extract",
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+        FROM events GROUP BY event_type
+        """,
+    )
+    def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSON field extraction + aggregation (pipeline metadata columns;
+        get_json_object stays JVM-side)."""
+        ev = load_table(spark, sf_dir, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return ev.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"), F.max(k).cast("int").alias("max_k")
+        )
+
+
+_register_round1_extras()
