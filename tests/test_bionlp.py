@@ -1,0 +1,50 @@
+"""End-to-end BioNLP extraction through the generic engine: the
+reference's own task (schema + BRAT corpus) run with induced gazetteer
+triggers and the nearest-Theme scorer, scored by our evaluator.
+
+These floors assert the MACHINERY (schema compilation, trigger detection,
+candidate generation, frame assembly, evaluation) — not model quality; a
+learned kernel slots into detect/score to raise them."""
+
+from __future__ import annotations
+
+import pytest
+
+from dere_spark.bionlp import (
+    induce_trigger_gazetteer,
+    run_bionlp_eval,
+)
+from dere_spark.sources.brat import load_brat
+from dere_spark.taskspec import load_task_spec
+
+TRAIN = "/root/reference/tutorial/data/train"
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return run_bionlp_eval(spark, TRAIN, TRAIN)
+
+
+def test_trigger_span_recall_floor(result):
+    # gazetteer induced from gold must recall most gold triggers
+    assert result.recall("span") >= 0.8, "\n" + result.report()
+
+
+def test_frame_extraction_produces_true_positives(result):
+    tp_frames = sum(v[0] for (k, _), v in result.counts.items() if k == "frame")
+    assert tp_frames >= 15, "\n" + result.report()
+    # every frame type got predictions (answer column nonzero)
+    answered = {
+        t for (k, t), (tp, fp, fn) in result.counts.items() if k == "frame" and tp + fp > 0
+    }
+    assert len(answered) >= 8
+
+
+def test_gazetteer_is_deterministic(spark):
+    spec = load_task_spec("/root/reference/task-specs/bionlpst.xml")
+    train = load_brat(spark, TRAIN, spec)
+    g1 = sorted(map(tuple, induce_trigger_gazetteer(train).collect()))
+    g2 = sorted(map(tuple, induce_trigger_gazetteer(train).collect()))
+    assert g1 == g2 and len(g1) > 30
+    # only predict=True types are induced (Protein is given)
+    assert all(t != "Protein" for _, t in g1)
