@@ -210,3 +210,220 @@ def run_bionlp_eval(
     gold = load_brat(spark, eval_dir, spec)
     hypo = predicted_corpus(spark, gold, spec, gaz)
     return evaluate(hypo, gold)
+
+
+# ---------------------------------------------------------------------------
+# Trained scorer: Theme direction/distance statistics from train gold
+# (the J2 gold-arc join as a TRAINING job; model = tiny broadcast dict)
+# ---------------------------------------------------------------------------
+
+def train_theme_model(train: Dict[str, DataFrame]) -> Dict[str, Tuple[int, int]]:
+    """Learn, per frame type, the preferred Theme direction and a distance
+    budget from gold arcs.
+
+    Training data = gold frames' (anchor span, Theme span filler) pairs —
+    the reference's gold-arc join J2 (slot_classifier.py:348-358) used
+    here to fit the deterministic scorer instead of an SVC. Returns
+    {frame_type: (direction, max_char_distance)} where direction is +1
+    (Theme typically after the trigger), -1 (before), and the budget is
+    the observed p90 distance (clamped to [40, 400]).
+
+    Everything is one distributed aggregation; the result is a model small
+    enough to broadcast into the scoring plan.
+    """
+    frames = train["frames"].select(
+        "doc_id", F.col("tag").alias("frame_tag"), "frame_type"
+    )
+    fills = train["slot_fills"].where(
+        (F.col("slot_name") == "Theme") & (F.col("filler_kind") == "span")
+    ).select("doc_id", "frame_tag", "filler_tag")
+    spans = train["spans"].select(
+        "doc_id", F.col("tag").alias("span_tag"),
+        F.col("left").alias("s_left"), F.col("right").alias("s_right"),
+        "span_type",
+    )
+    # anchor span of a gold frame: the trigger span whose type matches the
+    # frame type (anchor slot fill)
+    anchor_fills = train["slot_fills"].where(
+        F.col("slot_name") == F.col("frame_type")
+    ).select("doc_id", "frame_tag", F.col("filler_tag").alias("anchor_tag"))
+
+    arcs = (
+        frames.join(anchor_fills, ["doc_id", "frame_tag"])
+        .join(
+            spans.select(
+                "doc_id", F.col("span_tag").alias("anchor_tag"),
+                F.col("s_left").alias("a_left"), F.col("s_right").alias("a_right"),
+            ),
+            ["doc_id", "anchor_tag"],
+        )
+        .join(fills, ["doc_id", "frame_tag"])
+        .join(
+            spans.select(
+                "doc_id", F.col("span_tag").alias("filler_tag"),
+                "s_left", "s_right", F.col("span_type").alias("filler_type"),
+            ),
+            ["doc_id", "filler_tag"],
+        )
+        .where(F.col("filler_type") == "Protein")
+        .select(
+            "frame_type",
+            F.when(F.col("s_left") >= F.col("a_right"), 1).otherwise(-1).alias("direction"),
+            F.when(
+                F.col("s_left") >= F.col("a_right"), F.col("s_left") - F.col("a_right")
+            )
+            .otherwise(F.col("a_left") - F.col("s_right"))
+            .alias("distance"),
+        )
+    )
+    stats = (
+        arcs.groupBy("frame_type")
+        .agg(
+            F.sum("direction").alias("dir_sum"),
+            F.expr("percentile_approx(distance, 0.9)").alias("p90"),
+        )
+        .collect()
+    )
+    return {
+        r["frame_type"]: (
+            1 if r["dir_sum"] >= 0 else -1,
+            int(min(max(r["p90"], 40), 400)),
+        )
+        for r in stats
+    }
+
+
+def run_bionlp_eval_trained(
+    spark: SparkSession, train_dir: str, eval_dir: str,
+    direction_first: bool = False, dist_scale: float = 1.0,
+) -> EvalResult:
+    """Like run_bionlp_eval but with the trained direction/distance scorer.
+
+    ``direction_first`` ranks candidates by learned direction preference
+    before proximity (else direction only breaks distance ties);
+    ``dist_scale`` multiplies the learned p90 distance budget. Both are
+    grid-searched by `tune_bionlp` (the A6/M9 pattern: each grid point is
+    one Spark job, argmax on F1)."""
+    spec = load_task_spec(BIONLP_SPEC)
+    train = load_brat(spark, train_dir, spec)
+    gaz = induce_trigger_gazetteer(train)
+    model = train_theme_model(train)
+    gold = load_brat(spark, eval_dir, spec)
+
+    # build the model dimension for the scoring join
+    rows = [(ft, d, m) for ft, (d, m) in sorted(model.items())]
+    model_df = spark.createDataFrame(
+        rows, "frame_type string, pref_dir int, max_dist int"
+    )
+
+    triggers = detect_triggers(gold, gaz)
+    plan = compile_plan(spec)
+    wl_rows = [
+        (a, f_, lab.frame_type, lab.slot_name)
+        for (a, f_), labs in sorted(plan.plausible_relations.items())
+        for lab in labs
+    ]
+    wl = spark.createDataFrame(
+        wl_rows, "anchor_type string, filler_type string, frame_type string, slot_name string"
+    )
+    given = gold["spans"].where(F.col("source") == "given").select(
+        "doc_id", "instance_idx",
+        F.col("span_type").alias("filler_type"),
+        F.col("left").alias("f_left"),
+        F.col("right").alias("f_right"),
+        F.col("tag").alias("filler_tag"),
+    )
+    anchors = triggers.select(
+        "doc_id", "instance_idx",
+        F.col("span_type").alias("anchor_type"),
+        F.col("left").alias("a_left"),
+        F.col("right").alias("a_right"),
+    )
+    pairs = (
+        anchors.join(given, ["doc_id", "instance_idx"], "inner")
+        .join(F.broadcast(wl), ["anchor_type", "filler_type"], "inner")
+        .join(F.broadcast(model_df), "frame_type", "inner")
+        .withColumn(
+            "direction",
+            F.when(F.col("f_left") >= F.col("a_right"), 1).otherwise(-1),
+        )
+        .withColumn(
+            "char_distance",
+            F.when(F.col("f_left") >= F.col("a_right"), F.col("f_left") - F.col("a_right"))
+            .otherwise(F.col("a_left") - F.col("f_right")),
+        )
+        .where(F.col("char_distance") <= F.col("max_dist") * dist_scale)
+    )
+    dir_mismatch = (F.col("direction") != F.col("pref_dir")).cast("int")
+    order = (
+        [dir_mismatch.asc(), F.col("char_distance").asc(), F.col("f_left").asc()]
+        if direction_first
+        else [F.col("char_distance").asc(), dir_mismatch.asc(), F.col("f_left").asc()]
+    )
+    w = Window.partitionBy(
+        "doc_id", "instance_idx", "a_left", "a_right", "frame_type", "slot_name"
+    ).orderBy(*order)
+    best = pairs.withColumn("rk", F.row_number().over(w)).where(
+        (F.col("rk") == 1) & (F.col("slot_name") == "Theme")
+    )
+
+    frame_tag = F.concat_ws(
+        ":", F.lit("P"), "instance_idx", "a_left", "a_right", "frame_type"
+    )
+    frames = best.select(
+        "doc_id", frame_tag.alias("tag"), "frame_type",
+        F.lit("predicted").alias("source"),
+        F.lit(0).alias("line_no"),
+        F.lit(None).cast("int").alias("file_index"),
+        "instance_idx",
+    ).distinct()
+    anchor_fills = best.select(
+        "frame_type", F.col("frame_type").alias("slot_name"), "doc_id",
+        F.lit("predicted").alias("source"), frame_tag.alias("frame_tag"),
+        F.lit(0).alias("fill_idx"),
+        F.concat_ws(":", F.lit("PT"), "instance_idx", "a_left", "a_right").alias("filler_tag"),
+        F.lit("span").alias("filler_kind"),
+    )
+    theme_fills = best.select(
+        "frame_type", "slot_name", "doc_id",
+        F.lit("predicted").alias("source"), frame_tag.alias("frame_tag"),
+        F.lit(1).alias("fill_idx"), "filler_tag",
+        F.lit("span").alias("filler_kind"),
+    )
+    trigger_spans = triggers.select(
+        "doc_id", "instance_idx",
+        F.concat_ws(":", F.lit("PT"), "instance_idx", "left", "right").alias("tag"),
+        "span_type", "left", "right",
+        F.col("text").alias("span_text"), F.col("text").alias("text"),
+        "source",
+        F.lit(None).cast("int").alias("file_index"),
+        F.lit(0).alias("line_no"),
+    )
+    hypo = {
+        "instances": gold["instances"],
+        "spans": gold["spans"].where(F.col("source") == "given").unionByName(trigger_spans),
+        "frames": frames,
+        "slot_fills": anchor_fills.unionByName(theme_fills),
+    }
+    return evaluate(hypo, gold)
+
+
+def tune_bionlp(spark: SparkSession, train_dir: str) -> "GridResult":
+    """Grid-search the trained scorer's config on the train corpus —
+    the reference's dev-driven grid search (A6/M9, utils.py:119-207):
+    each grid point is a full Spark extraction+evaluation job."""
+    from dere_spark.plans.tuning import GridResult, grid_search
+
+    def ev(params) -> float:
+        r = run_bionlp_eval_trained(
+            spark, train_dir, train_dir,
+            direction_first=params["direction_first"],
+            dist_scale=params["dist_scale"],
+        )
+        return r.fscore("frame")
+
+    return grid_search(
+        {"direction_first": [False, True], "dist_scale": [1.0, 2.0, 4.0]},
+        ev,
+        early_stop_at=1.0,
+    )

@@ -48,3 +48,13 @@ def test_gazetteer_is_deterministic(spark):
     assert g1 == g2 and len(g1) > 30
     # only predict=True types are induced (Protein is given)
     assert all(t != "Protein" for _, t in g1)
+
+
+def test_trained_scorer_beats_heuristic(spark):
+    from dere_spark.bionlp import run_bionlp_eval_trained
+
+    trained = run_bionlp_eval_trained(spark, TRAIN, TRAIN)
+    base = run_bionlp_eval(spark, TRAIN, TRAIN)
+    assert trained.fscore("frame") >= base.fscore("frame"), (
+        f"trained {trained.fscore('frame'):.4f} < baseline {base.fscore('frame'):.4f}"
+    )
