@@ -391,3 +391,78 @@ def evaluate(hypo: Dict[str, DataFrame], gold: Dict[str, DataFrame]) -> EvalResu
     spans = span_eval_counts(hypo["spans"], gold["spans"])
     frames = frame_eval_counts(hypo, gold)
     return EvalResult.from_df(spans.unionByName(frames))
+
+
+# ---------------------------------------------------------------------------
+# Soft span matching — E5, the legacy BioNLP scorer's relaxations
+# (/root/reference/dere/evaluation/deRE_evaluation.py: expand_span 494-514,
+# soft overlap matching 446-491)
+# ---------------------------------------------------------------------------
+
+def span_eval_counts_soft(
+    hypo_spans: DataFrame,
+    gold_spans: DataFrame,
+    instances: Optional[DataFrame] = None,
+    mode: str = "soft_boundary",
+    slack: int = 2,
+) -> DataFrame:
+    """Per-type TP/FP/FN with the legacy scorer's soft matching.
+
+    Modes:
+      * 'soft_boundary' — a hypo span matches a gold span of the same type
+        when its boundaries lie within the gold span extended by ``slack``
+        chars on each side (the scorer's expand_span extends gold spans up
+        to 2 chars to word boundaries; the char-slack form is the
+        word-boundary-free core of that relaxation);
+      * 'soft_overlap' — any overlap of at least one character counts.
+
+    Matching is existential on both sides (a hypo matching ANY gold is TP;
+    a gold matched by ANY hypo is not FN) — the scorer's semantics with
+    duplication adjustment left to the caller (A4, min(matched_answer,
+    matched_gold) — here counts are per-side existential like E1).
+    """
+    h = hypo_spans.where(F.col("source") != "given").alias("h")
+    g = gold_spans.where(F.col("source") != "given").alias("g")
+    if mode == "soft_boundary":
+        cond = (
+            (F.col("h.doc_id") == F.col("g.doc_id"))
+            & (F.col("h.span_type") == F.col("g.span_type"))
+            & (F.col("h.left") >= F.col("g.left") - slack)
+            & (F.col("h.right") <= F.col("g.right") + slack)
+        )
+    elif mode == "soft_overlap":
+        cond = (
+            (F.col("h.doc_id") == F.col("g.doc_id"))
+            & (F.col("h.span_type") == F.col("g.span_type"))
+            & (F.col("h.left") < F.col("g.right"))
+            & (F.col("g.left") < F.col("h.right"))
+        )
+    else:
+        raise ValueError(f"unknown soft mode: {mode}")
+
+    tp = (
+        h.join(g, cond, "left_semi")
+        .groupBy("span_type")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    fp = (
+        h.join(g, cond, "left_anti")
+        .groupBy("span_type")
+        .agg(F.count(F.lit(1)).alias("fp"))
+    )
+    fn = (
+        g.join(h.alias("h"), cond, "left_anti")
+        .groupBy("span_type")
+        .agg(F.count(F.lit(1)).alias("fn"))
+    )
+    return (
+        tp.join(fp, "span_type", "full_outer")
+        .join(fn, "span_type", "full_outer")
+        .select(
+            F.lit("span").alias("kind"),
+            F.col("span_type").alias("type_name"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )

@@ -31,3 +31,15 @@ def deterministic_split(
     """(train, dev) split: rows with bucket(key) < ratio go left."""
     b = split_bucket(F.col(key))
     return df.where(b < ratio), df.where(b >= ratio)
+
+
+def seeded_shuffle(df: DataFrame, seed: int, key: str = "doc_id") -> DataFrame:
+    """Deterministic 'random' ordering — O2, the reference's fixed-seed
+    Fisher-Yates before fitting (span_classifier.py:59-67,
+    slot_classifier.py:56-57). Ordering by md5(seed || key) is stable
+    across sessions, engines and parallelism levels (rand(seed) is only
+    partition-stable), with the key as total tie-break."""
+    return df.orderBy(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key).cast("string"))),
+        F.col(key),
+    )

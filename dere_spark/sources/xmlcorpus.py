@@ -1,0 +1,192 @@
+"""Inline-XML corpus IO — S6, the reference's CQSA reader
+(/root/reference/dere/corpus_io/cqsa_corpus_io.py), distributed.
+
+Format: one XML file per document; ``HEADING``/``PARAGRAPH`` elements are
+Instances; nested elements whose tag names a span type become gold spans
+covering their text extent; elements whose tag names a frame type become
+gold frames anchored at that span (the anchor slot is named like the frame
+type); other element attributes reference sibling element ids to fill
+slots (cqsa_corpus_io.py:59-101). Newlines inside instance text become
+spaces AFTER offsets are fixed — length-preserving, so offsets survive
+(cqsa_corpus_io.py:55).
+
+Spark shape: wholetext file scan -> per-document Arrow kernel (XML
+payloads are small; parsing is the kernel, everything relational after it
+is native). Output tables match sources/brat.py exactly, so the evaluator
+and dump work unchanged — and `load_corpus_auto` (S7, the universal IO's
+format sniffing, universal_corpus_io.py:22-45) picks between BRAT and XML
+by probing the directory.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from dere_spark.sources.brat import _read_whole_files, load_brat
+from dere_spark.taskspec import TaskSpecification
+
+_INSTANCE_TAGS = ("HEADING", "PARAGRAPH")
+
+_SPANS_SCHEMA = (
+    "doc_id string, instance_idx int, tag string, span_type string, "
+    "left int, right int, span_text string, text string, source string, "
+    "file_index int, line_no int"
+)
+_FRAMES_SCHEMA = (
+    "frame_type string, doc_id string, tag string, source string, "
+    "line_no int, file_index int, instance_idx int"
+)
+_FILLS_SCHEMA = (
+    "frame_type string, slot_name string, doc_id string, source string, "
+    "frame_tag string, fill_idx int, filler_tag string, filler_kind string"
+)
+_INSTANCES_SCHEMA = "doc_id string, instance_idx int, text string, i_start int, i_end int"
+
+
+def _parse_document(doc_id: str, content: str, spec: TaskSpecification, load_gold: bool):
+    """Pure-python per-document parse (runs inside the Arrow kernel)."""
+    import xml.etree.ElementTree as ET
+
+    instances: List[tuple] = []
+    spans: List[tuple] = []
+    frames: List[tuple] = []
+    fills: List[tuple] = []
+
+    root = ET.fromstring(content)
+    offset = 0
+    counter = {"n": 0}
+
+    for instance_idx, el in enumerate(
+        [c for c in root if c.tag in _INSTANCE_TAGS]
+    ):
+        text_parts: List[str] = []
+        ids: Dict[str, tuple] = {}  # element id -> ('span'|'frame', tag)
+        frame_elements: List[tuple] = []
+
+        def walk(element) -> None:
+            if element.text:
+                text_parts.append(element.text)
+            for child in element:
+                left = sum(len(p) for p in text_parts)
+                walk(child)
+                right = sum(len(p) for p in text_parts)
+                span_tag = None
+                st = spec.span_type(child.tag)
+                if load_gold and st is not None:
+                    counter["n"] += 1
+                    span_tag = f"X{counter['n']}"
+                    covered = "".join(text_parts)[left:right].replace("\n", " ")
+                    spans.append(
+                        (doc_id, instance_idx, span_tag, st.name, left, right,
+                         covered, covered, "gold", None, counter["n"])
+                    )
+                    if "id" in child.attrib:
+                        ids[child.attrib["id"]] = ("span", span_tag)
+                ft = spec.frame_type(child.tag)
+                if load_gold and ft is not None:
+                    counter["n"] += 1
+                    frame_tag = f"XF{counter['n']}"
+                    frames.append(
+                        (ft.name, doc_id, frame_tag, "gold", counter["n"], None,
+                         instance_idx)
+                    )
+                    if span_tag is not None and ft.slot(ft.name) is not None:
+                        fills.append(
+                            (ft.name, ft.name, doc_id, "gold", frame_tag, 0,
+                             span_tag, "span")
+                        )
+                    if "id" in child.attrib:
+                        ids[child.attrib["id"]] = ("frame", frame_tag)
+                    frame_elements.append((child, ft, frame_tag))
+                if child.tail:
+                    text_parts.append(child.tail)
+
+        walk(el)
+        text = "".join(text_parts).replace("\n", " ")
+        instances.append((doc_id, instance_idx, text, offset, offset + len(text) + 1))
+        offset += len(text) + 1
+
+        # second pass: attribute-referenced slot fills (link_instance)
+        for element, ft, frame_tag in frame_elements:
+            fill_idx = 1
+            for attrib, value in element.attrib.items():
+                slot = ft.slot(attrib)
+                if slot is not None and value in ids:
+                    kind, filler_tag = ids[value]
+                    fills.append(
+                        (ft.name, attrib, doc_id, "gold", frame_tag, fill_idx,
+                         filler_tag, kind)
+                    )
+                    fill_idx += 1
+
+    return instances, spans, frames, fills
+
+
+def load_xml_corpus(
+    spark: SparkSession, path: str, spec: TaskSpecification, load_gold: bool = True
+) -> Dict[str, DataFrame]:
+    """Directory of .xml docs -> corpus tables (same shape as load_brat)."""
+    raw = _read_whole_files(spark, os.path.join(path, "*.xml"), "xml")
+
+    def kernel(which: int):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = {
+                0: ["doc_id", "instance_idx", "text", "i_start", "i_end"],
+                1: ["doc_id", "instance_idx", "tag", "span_type", "left", "right",
+                    "span_text", "text", "source", "file_index", "line_no"],
+                2: ["frame_type", "doc_id", "tag", "source", "line_no",
+                    "file_index", "instance_idx"],
+                3: ["frame_type", "slot_name", "doc_id", "source", "frame_tag",
+                    "fill_idx", "filler_tag", "filler_kind"],
+            }[which]
+            for batch in batches:
+                rows: List[tuple] = []
+                for r in batch.itertuples():
+                    parsed = _parse_document(r.doc_id, r.content, spec, load_gold)
+                    if which == 1:
+                        # reorder span tuple into schema order
+                        rows.extend(
+                            (d, i, t, st, l, rr, stx, tx, src, fi, ln)
+                            for (d, i, t, st, l, rr, stx, tx, src, fi, ln) in parsed[1]
+                        )
+                    else:
+                        rows.extend(parsed[which])
+                yield pd.DataFrame(rows, columns=cols)
+
+        return run
+
+    schemas = [_INSTANCES_SCHEMA, _SPANS_SCHEMA, _FRAMES_SCHEMA, _FILLS_SCHEMA]
+    names = ["instances", "spans", "frames", "fills"]
+    out = {
+        name: raw.mapInPandas(kernel(i), schemas[i])
+        for i, name in enumerate(names)
+    }
+    return {
+        "instances": out["instances"],
+        "spans": out["spans"],
+        "frames": out["frames"],
+        "slot_fills": out["fills"],
+    }
+
+
+def load_corpus_auto(
+    spark: SparkSession, path: str, spec: TaskSpecification, load_gold: bool = True
+) -> Dict[str, DataFrame]:
+    """S7 — universal IO: probe the directory layout and dispatch.
+
+    The reference tries each registered IO and keeps the first that yields
+    a non-empty corpus (universal_corpus_io.py:22-45); directory probing
+    reproduces that choice without a trial load.
+    """
+    import glob as g
+
+    if g.glob(os.path.join(path, "*.txt")):
+        return load_brat(spark, path, spec, load_gold)
+    if g.glob(os.path.join(path, "*.xml")):
+        return load_xml_corpus(spark, path, spec, load_gold)
+    raise ValueError(f"no recognizable corpus format under {path}")

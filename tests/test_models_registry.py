@@ -1,0 +1,52 @@
+"""S10/S11 model registry + O2 seeded shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+from dere_spark.operators.corpus_ops import seeded_shuffle
+from dere_spark.operators.kernels import LinearPairScorer, score_pairs_batched
+from dere_spark.plans.models import load_model, save_model
+from dere_spark.sources.documents import load_documents
+
+
+def test_save_load_round_trip(tmp_path):
+    model = LinearPairScorer(feature_cols=("f1",), weights=(2.0,), bias=0.5)
+    manifest = save_model(model, str(tmp_path / "m"), metadata={"task": "webtext"})
+    assert manifest["model_class"].endswith("LinearPairScorer")
+    loaded, m2 = load_model(str(tmp_path / "m"))
+    assert loaded == model and m2["metadata"]["task"] == "webtext"
+
+
+def test_load_detects_corruption(tmp_path):
+    model = LinearPairScorer(feature_cols=("f1",), weights=(2.0,), bias=0.5)
+    save_model(model, str(tmp_path / "m"))
+    with open(tmp_path / "m" / "model.pkl", "ab") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="corrupt"):
+        load_model(str(tmp_path / "m"))
+
+
+def test_load_checks_class(tmp_path):
+    save_model(LinearPairScorer(("f1",), (1.0,)), str(tmp_path / "m"))
+    with pytest.raises(ValueError, match="mismatch"):
+        load_model(str(tmp_path / "m"), expected_class="foo.Bar")
+
+
+def test_loaded_model_scores_in_plan(spark, tmp_path):
+    model = LinearPairScorer(feature_cols=("f1",), weights=(3.0,), bias=1.0)
+    save_model(model, str(tmp_path / "m"))
+    loaded, _ = load_model(str(tmp_path / "m"))
+    df = spark.createDataFrame([(1, 2.0)], "id int, f1 double")
+    out = score_pairs_batched(df, loaded).collect()
+    assert out[0]["model_score"] == 7.0
+
+
+def test_seeded_shuffle_deterministic(spark, sf_dir):
+    docs = load_documents(spark, sf_dir).limit(50)
+    o1 = [r["doc_id"] for r in seeded_shuffle(docs, 1111).collect()]
+    o2 = [r["doc_id"] for r in seeded_shuffle(docs, 1111).collect()]
+    o3 = [r["doc_id"] for r in seeded_shuffle(docs, 98765).collect()]
+    assert o1 == o2
+    assert o1 != o3  # different seed -> different order
+    assert sorted(o1) == sorted(o3)

@@ -1,0 +1,75 @@
+"""S6 inline-XML corpus IO + S7 universal dispatch, tested on a synthetic
+quote-attribution document against the shipped quote.xml spec."""
+
+from __future__ import annotations
+
+import pytest
+
+from dere_spark.evaluation import evaluate
+from dere_spark.sources.xmlcorpus import load_corpus_auto, load_xml_corpus
+from dere_spark.taskspec import load_task_spec
+
+QUOTE_SPEC = "/root/reference/task-specs/quote.xml"
+
+DOC = """<doc>
+  <HEADING>A conversation</HEADING>
+  <PARAGRAPH><PERSON id="p1">Alice</PERSON> said to <PERSON id="p2">Bob</PERSON>:
+<QUOTE id="q1" speaker="p1" addressee="p2">hello there</QUOTE> and left.</PARAGRAPH>
+</doc>
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("xmlcorpus")
+    (d / "doc1.xml").write_text(DOC)
+    spec = load_task_spec(QUOTE_SPEC)
+    return load_xml_corpus(spark, str(d), spec)
+
+
+def test_instances_and_newline_normalization(corpus):
+    inst = {r["instance_idx"]: r["text"] for r in corpus["instances"].collect()}
+    assert inst[0] == "A conversation"
+    assert "\n" not in inst[1]  # newline -> space, offsets preserved
+    assert inst[1].startswith("Alice said to Bob:")
+
+
+def test_spans_cover_element_text(corpus):
+    spans = {
+        (r["span_type"], r["text"]) for r in corpus["spans"].collect()
+    }
+    assert ("PERSON", "Alice") in spans
+    assert ("PERSON", "Bob") in spans
+    assert ("QUOTE", "hello there") in spans
+    # offsets reproduce the surface string from instance text
+    inst = {r["instance_idx"]: r["text"] for r in corpus["instances"].collect()}
+    for r in corpus["spans"].collect():
+        assert inst[r["instance_idx"]][r["left"]:r["right"]] == r["text"]
+
+
+def test_frame_with_attribute_slots(corpus):
+    frames = corpus["frames"].collect()
+    assert len(frames) == 1 and frames[0]["frame_type"] == "QUOTE"
+    fills = {
+        (r["slot_name"], r["filler_kind"]) for r in corpus["slot_fills"].collect()
+    }
+    assert fills == {("QUOTE", "span"), ("speaker", "span"), ("addressee", "span")}
+
+
+def test_self_evaluation_perfect(corpus):
+    r = evaluate(corpus, corpus)
+    assert r.precision() == 1.0 and r.recall() == 1.0
+
+
+def test_universal_dispatch(spark, tmp_path):
+    spec = load_task_spec(QUOTE_SPEC)
+    (tmp_path / "doc1.xml").write_text(DOC)
+    c = load_corpus_auto(spark, str(tmp_path), spec)
+    assert c["spans"].count() == 3
+    bionlp_spec = load_task_spec("/root/reference/task-specs/bionlpst.xml")
+    c2 = load_corpus_auto(
+        spark, "/root/reference/tutorial/data/train", bionlp_spec
+    )
+    assert c2["spans"].count() == 148
+    with pytest.raises(ValueError):
+        load_corpus_auto(spark, "/tmp/definitely_empty_dir_xyz", spec)
