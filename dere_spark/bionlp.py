@@ -427,3 +427,398 @@ def tune_bionlp(spark: SparkSession, train_dir: str) -> "GridResult":
         ev,
         early_stop_at=1.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned pair classifier (M3/M4 with a real learner, no sklearn):
+# features assembled relationally, numpy logistic regression on the driver,
+# weights pushed back into the plan as a closed-form Catalyst expression.
+# ---------------------------------------------------------------------------
+
+_TRIGGER_TYPES = (
+    "Gene_expression", "Transcription", "Protein_catabolism", "Phosphorylation",
+    "Localization", "Binding", "Regulation", "Positive_regulation",
+    "Negative_regulation",
+)
+
+
+def _pair_features(pairs: DataFrame) -> DataFrame:
+    """Feature columns over candidate (anchor, filler) pairs.
+
+    Expects: anchor_type, a_left, a_right, f_left, f_right. Adds
+    char_distance, direction and one-hot anchor-type indicators — all
+    JVM-side expressions.
+    """
+    out = pairs.withColumn(
+        "char_distance",
+        F.when(F.col("f_left") >= F.col("a_right"), F.col("f_left") - F.col("a_right"))
+        .otherwise(F.col("a_left") - F.col("f_right")),
+    ).withColumn(
+        "direction",
+        F.when(F.col("f_left") >= F.col("a_right"), 1.0).otherwise(-1.0),
+    )
+    out = out.withColumn("dist_scaled", F.col("char_distance") / F.lit(100.0))
+    out = out.withColumn("dist_log", F.log1p(F.greatest(F.col("char_distance"), F.lit(0))))
+    for t in _TRIGGER_TYPES:
+        out = out.withColumn(
+            f"is_{t}", F.when(F.col("anchor_type") == t, 1.0).otherwise(0.0)
+        )
+    return out
+
+
+FEATURE_COLS = ["dist_scaled", "dist_log", "direction"] + [f"is_{t}" for t in _TRIGGER_TYPES]
+
+
+def _gold_arcs(corpus: Dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, anchor span identity, Theme filler tag) from gold frames."""
+    frames = corpus["frames"].select("doc_id", F.col("tag").alias("frame_tag"), "frame_type")
+    anchor_fills = corpus["slot_fills"].where(
+        F.col("slot_name") == F.col("frame_type")
+    ).select("doc_id", "frame_tag", F.col("filler_tag").alias("anchor_tag"))
+    theme_fills = corpus["slot_fills"].where(
+        (F.col("slot_name") == "Theme") & (F.col("filler_kind") == "span")
+    ).select("doc_id", "frame_tag", F.col("filler_tag").alias("theme_tag"))
+    spans = corpus["spans"].select(
+        "doc_id", F.col("tag").alias("anchor_tag"),
+        F.col("left").alias("ga_left"), F.col("right").alias("ga_right"),
+        F.col("instance_idx").alias("g_instance"),
+    )
+    return (
+        frames.join(anchor_fills, ["doc_id", "frame_tag"])
+        .join(spans, ["doc_id", "anchor_tag"])
+        .join(theme_fills, ["doc_id", "frame_tag"])
+        .select("doc_id", "g_instance", "ga_left", "ga_right", "theme_tag", "frame_type")
+    )
+
+
+def _training_pairs(corpus: Dict[str, DataFrame], max_dist: int = 300) -> DataFrame:
+    """Teacher-forced candidates: GOLD trigger spans × given Proteins in
+    the same instance, labeled 1 iff the gold frame anchored at that
+    trigger has the protein as a Theme filler (the J2 gold-arc join used
+    as a label join)."""
+    anchors = corpus["spans"].where(F.col("source") == "gold").select(
+        "doc_id", "instance_idx",
+        F.col("span_type").alias("anchor_type"),
+        F.col("left").alias("a_left"), F.col("right").alias("a_right"),
+    )
+    proteins = corpus["spans"].where(
+        (F.col("source") == "given") & (F.col("span_type") == "Protein")
+    ).select(
+        "doc_id", "instance_idx",
+        F.col("left").alias("f_left"), F.col("right").alias("f_right"),
+        F.col("tag").alias("filler_tag"),
+    )
+    cands = anchors.join(proteins, ["doc_id", "instance_idx"], "inner")
+    cands = _pair_features(cands).where(F.col("char_distance") <= max_dist)
+    arcs = _gold_arcs(corpus).select(
+        "doc_id",
+        F.col("g_instance").alias("instance_idx"),
+        F.col("ga_left").alias("a_left"),
+        F.col("ga_right").alias("a_right"),
+        F.col("theme_tag").alias("filler_tag"),
+        F.lit(1.0).alias("label"),
+    ).distinct()
+    return cands.join(
+        arcs, ["doc_id", "instance_idx", "a_left", "a_right", "filler_tag"], "left"
+    ).withColumn("label", F.coalesce("label", F.lit(0.0)))
+
+
+def induce_trigger_gazetteer_filtered(
+    train: Dict[str, DataFrame], min_precision: float = 0.0
+) -> DataFrame:
+    """Gazetteer with a trained precision filter: keep a term only if, in
+    train, at least `min_precision` of its token occurrences are gold
+    triggers (cuts false-positive triggers like common verbs)."""
+    gaz = induce_trigger_gazetteer(train)
+    if min_precision <= 0:
+        return gaz
+    inst = train["instances"].select(
+        F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
+    )
+    occurrences = (
+        tokenize(inst)
+        .select(F.lower("token").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    as_trigger = (
+        train["spans"].where(F.col("source") == "gold")
+        .groupBy(F.lower(F.col("text")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_trig"))
+    )
+    stats = occurrences.join(as_trigger, "term", "inner").where(
+        F.col("n_trig") / F.col("n_occ") >= min_precision
+    )
+    return gaz.join(stats.select("term"), "term", "left_semi")
+
+
+def run_bionlp_eval_learned(
+    spark: SparkSession,
+    train_dir: str,
+    eval_dir: str,
+    threshold: float = 0.5,
+    min_trigger_precision: float = 0.5,
+    max_dist: int = 300,
+) -> EvalResult:
+    """Full learned path: filtered gazetteer triggers + logistic pair
+    classifier; Theme cardinality from the schema (argmax for max_card=1,
+    all-above-threshold for unbounded Binding)."""
+    from dere_spark.operators.logreg import fit_logistic
+
+    spec = load_task_spec(BIONLP_SPEC)
+    train = load_brat(spark, train_dir, spec)
+    model = fit_logistic(_training_pairs(train, max_dist), FEATURE_COLS)
+    gaz = induce_trigger_gazetteer_filtered(train, min_trigger_precision)
+    gold = load_brat(spark, eval_dir, spec)
+
+    triggers = detect_triggers(gold, gaz)
+    anchors = triggers.select(
+        "doc_id", "instance_idx",
+        F.col("span_type").alias("anchor_type"),
+        F.col("left").alias("a_left"), F.col("right").alias("a_right"),
+    )
+    proteins = gold["spans"].where(
+        (F.col("source") == "given") & (F.col("span_type") == "Protein")
+    ).select(
+        "doc_id", "instance_idx",
+        F.col("f_left"), F.col("f_right"), F.col("filler_tag"),
+    ) if False else gold["spans"].where(
+        (F.col("source") == "given") & (F.col("span_type") == "Protein")
+    ).select(
+        "doc_id", "instance_idx",
+        F.col("left").alias("f_left"), F.col("right").alias("f_right"),
+        F.col("tag").alias("filler_tag"),
+    )
+    cands = _pair_features(
+        anchors.join(proteins, ["doc_id", "instance_idx"], "inner")
+    ).where(F.col("char_distance") <= max_dist)
+    scored = cands.withColumn("p", model.score_column()).where(
+        F.col("p") >= threshold
+    )
+    # schema-driven cardinality: Binding.Theme unbounded, all others 1
+    w = Window.partitionBy(
+        "doc_id", "instance_idx", "a_left", "a_right", "anchor_type"
+    ).orderBy(F.col("p").desc(), F.col("f_left").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    best = ranked.where((F.col("anchor_type") == "Binding") | (F.col("rk") == 1))
+    best = best.withColumn("frame_type", F.col("anchor_type")).withColumn(
+        "slot_name", F.lit("Theme")
+    )
+
+    frame_tag = F.concat_ws(
+        ":", F.lit("P"), "instance_idx", "a_left", "a_right", "frame_type"
+    )
+    frames = best.select(
+        "doc_id", frame_tag.alias("tag"), "frame_type",
+        F.lit("predicted").alias("source"),
+        F.lit(0).alias("line_no"),
+        F.lit(None).cast("int").alias("file_index"),
+        "instance_idx",
+    ).distinct()
+    anchor_fills = best.select(
+        "frame_type", F.col("frame_type").alias("slot_name"), "doc_id",
+        F.lit("predicted").alias("source"), frame_tag.alias("frame_tag"),
+        F.lit(0).alias("fill_idx"),
+        F.concat_ws(":", F.lit("PT"), "instance_idx", "a_left", "a_right").alias("filler_tag"),
+        F.lit("span").alias("filler_kind"),
+    ).distinct()
+    theme_fills = best.select(
+        "frame_type", "slot_name", "doc_id",
+        F.lit("predicted").alias("source"), frame_tag.alias("frame_tag"),
+        F.col("rk").cast("int").alias("fill_idx"), "filler_tag",
+        F.lit("span").alias("filler_kind"),
+    )
+    trigger_spans = triggers.select(
+        "doc_id", "instance_idx",
+        F.concat_ws(":", F.lit("PT"), "instance_idx", "left", "right").alias("tag"),
+        "span_type", "left", "right",
+        F.col("text").alias("span_text"), F.col("text").alias("text"),
+        "source",
+        F.lit(None).cast("int").alias("file_index"),
+        F.lit(0).alias("line_no"),
+    )
+    hypo = {
+        "instances": gold["instances"],
+        "spans": gold["spans"].where(F.col("source") == "given").unionByName(trigger_spans),
+        "frames": frames,
+        "slot_fills": anchor_fills.unionByName(theme_fills),
+    }
+    return evaluate(hypo, gold)
+
+
+def tune_bionlp_learned(spark: SparkSession, train_dir: str) -> "GridResult":
+    """Grid search over the learned path's two knobs (A6/M9)."""
+    from dere_spark.plans.tuning import GridResult, grid_search
+
+    def ev(params) -> float:
+        r = run_bionlp_eval_learned(
+            spark, train_dir, train_dir,
+            threshold=params["threshold"],
+            min_trigger_precision=params["min_trigger_precision"],
+        )
+        return r.fscore("frame")
+
+    return grid_search(
+        {"threshold": [0.3, 0.5, 0.7], "min_trigger_precision": [0.0, 0.3, 0.5]},
+        ev,
+        early_stop_at=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested (recursive-frame) extraction: regulation triggers may take other
+# predicted FRAMES as Theme — the schema's recursive slots
+# (bionlpst.xml Regulation.Theme includes regulation frame types; SURVEY
+# §7.4 hard-part 2). Candidate fillers = given Proteins ∪ other predicted
+# frame anchors; per-type kind preference (span vs frame) is learned from
+# train gold; dangling frame references are pruned by iterated anti-joins
+# (the frames_referencing_spans cascade, S4, applied to predictions).
+# ---------------------------------------------------------------------------
+
+_REGULATION_TYPES = ("Regulation", "Positive_regulation", "Negative_regulation")
+
+
+def theme_kind_preference(train: Dict[str, DataFrame]) -> Dict[str, str]:
+    """Per frame type: does gold fill Theme mostly with spans or frames?"""
+    frames = train["frames"].select("doc_id", F.col("tag").alias("frame_tag"), "frame_type")
+    theme = train["slot_fills"].where(F.col("slot_name") == "Theme").select(
+        "doc_id", "frame_tag", "filler_kind"
+    )
+    rows = (
+        frames.join(theme, ["doc_id", "frame_tag"])
+        .groupBy("frame_type")
+        .agg(
+            F.sum(F.when(F.col("filler_kind") == "frame", 1).otherwise(0)).alias("nf"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    return {r["frame_type"]: ("frame" if r["nf"] * 2 >= r["n"] else "span") for r in rows}
+
+
+def run_bionlp_eval_nested(
+    spark: SparkSession,
+    train_dir: str,
+    eval_dir: str,
+    min_trigger_precision: float = 0.2,
+    max_dist: int = 120,
+    prune_rounds: int = 3,
+) -> EvalResult:
+    """Nested extraction with learned kind preference + distance rule."""
+    spec = load_task_spec(BIONLP_SPEC)
+    train = load_brat(spark, train_dir, spec)
+    gaz = induce_trigger_gazetteer_filtered(train, min_trigger_precision)
+    pref = theme_kind_preference(train)
+    gold = load_brat(spark, eval_dir, spec)
+
+    triggers = detect_triggers(gold, gaz)
+    frame_tag_expr = F.concat_ws(":", F.lit("P"), "instance_idx", "left", "right", "span_type")
+    anchors = triggers.select(
+        "doc_id", "instance_idx",
+        F.col("span_type").alias("anchor_type"),
+        F.col("left").alias("a_left"), F.col("right").alias("a_right"),
+    )
+    protein_cands = gold["spans"].where(
+        (F.col("source") == "given") & (F.col("span_type") == "Protein")
+    ).select(
+        "doc_id", "instance_idx",
+        F.col("left").alias("f_left"), F.col("right").alias("f_right"),
+        F.col("tag").alias("filler_tag"),
+        F.lit("span").alias("filler_kind"),
+    )
+    frame_cands = triggers.select(
+        "doc_id", "instance_idx",
+        F.col("left").alias("f_left"), F.col("right").alias("f_right"),
+        frame_tag_expr.alias("filler_tag"),
+        F.lit("frame").alias("filler_kind"),
+    )
+    cands = protein_cands.unionByName(frame_cands)
+
+    pref_rows = [(t, k) for t, k in sorted(pref.items())]
+    pref_df = spark.createDataFrame(pref_rows, "anchor_type string, pref_kind string")
+
+    pairs = (
+        anchors.join(cands, ["doc_id", "instance_idx"], "inner")
+        # a span can't fill its own frame's Theme with itself
+        .where(~((F.col("f_left") == F.col("a_left")) & (F.col("f_right") == F.col("a_right"))))
+        # only regulation anchors may take frame fillers (schema recursion)
+        .where(
+            (F.col("filler_kind") == "span")
+            | F.col("anchor_type").isin(*_REGULATION_TYPES)
+        )
+        .join(F.broadcast(pref_df), "anchor_type", "left")
+        .withColumn(
+            "char_distance",
+            F.when(F.col("f_left") >= F.col("a_right"), F.col("f_left") - F.col("a_right"))
+            .otherwise(F.col("a_left") - F.col("f_right")),
+        )
+        .where(F.col("char_distance") <= max_dist)
+    )
+    w = Window.partitionBy(
+        "doc_id", "instance_idx", "a_left", "a_right", "anchor_type"
+    ).orderBy(
+        (F.col("filler_kind") != F.coalesce(F.col("pref_kind"), F.lit("span"))).cast("int"),
+        F.col("char_distance").asc(),
+        F.col("f_left").asc(),
+        F.col("filler_kind").asc(),
+    )
+    best = pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    best = best.withColumn("frame_type", F.col("anchor_type"))
+    my_tag = F.concat_ws(":", F.lit("P"), "instance_idx", "a_left", "a_right", "frame_type")
+    frames = best.select(
+        "doc_id", my_tag.alias("tag"), "frame_type",
+        F.lit("predicted").alias("source"),
+        F.lit(0).alias("line_no"), F.lit(None).cast("int").alias("file_index"),
+        "instance_idx",
+    ).localCheckpoint(eager=True)
+    fills = (
+        best.select(
+            "frame_type", F.col("frame_type").alias("slot_name"), "doc_id",
+            F.lit("predicted").alias("source"), my_tag.alias("frame_tag"),
+            F.lit(0).alias("fill_idx"),
+            F.concat_ws(":", F.lit("PT"), "instance_idx", "a_left", "a_right").alias("filler_tag"),
+            F.lit("span").alias("filler_kind"),
+        )
+        .unionByName(
+            best.select(
+                "frame_type", F.lit("Theme").alias("slot_name"), "doc_id",
+                F.lit("predicted").alias("source"), my_tag.alias("frame_tag"),
+                F.lit(1).alias("fill_idx"), "filler_tag", "filler_kind",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # cascade prune: frame-kind Theme fills must reference a surviving frame;
+    # frames losing their Theme (mincard 1) die, cascading upward
+    for _ in range(prune_rounds):
+        valid_tags = frames.select("doc_id", F.col("tag").alias("filler_tag"))
+        bad_theme = fills.where(
+            (F.col("slot_name") == "Theme") & (F.col("filler_kind") == "frame")
+        ).join(valid_tags, ["doc_id", "filler_tag"], "left_anti").select(
+            "doc_id", F.col("frame_tag").alias("tag")
+        )
+        n_bad = bad_theme.count()
+        if n_bad == 0:
+            break
+        frames = frames.join(bad_theme, ["doc_id", "tag"], "left_anti").localCheckpoint(eager=True)
+        fills = fills.join(
+            frames.select("doc_id", F.col("tag").alias("frame_tag")),
+            ["doc_id", "frame_tag"], "left_semi",
+        ).localCheckpoint(eager=True)
+
+    trigger_spans = triggers.select(
+        "doc_id", "instance_idx",
+        F.concat_ws(":", F.lit("PT"), "instance_idx", "left", "right").alias("tag"),
+        "span_type", "left", "right",
+        F.col("text").alias("span_text"), F.col("text").alias("text"),
+        "source", F.lit(None).cast("int").alias("file_index"),
+        F.lit(0).alias("line_no"),
+    )
+    hypo = {
+        "instances": gold["instances"],
+        "spans": gold["spans"].where(F.col("source") == "given").unionByName(trigger_spans),
+        "frames": frames,
+        "slot_fills": fills,
+    }
+    return evaluate(hypo, gold)
