@@ -1241,3 +1241,201 @@ def _register_round1_extras() -> None:
 
 
 _register_round1_extras()
+
+
+def _register_entity_canonicalization() -> None:
+    from dere_spark.operators.dedup import (
+        candidate_pairs_lsh,
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+        near_dup_clusters,
+    )
+
+    # char-3-gram shingles over entity surface forms drawn from the graph
+    ENT_CTES = (
+        KG_CTES
+        + """,
+entities AS (
+  SELECT subj AS entity FROM triples UNION SELECT obj FROM triples
+),
+ent_shingles AS (
+  SELECT DISTINCT e.entity AS doc_id,
+         substring(e.entity, i.i, 3) AS shingle
+  FROM entities e
+  CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS i) i
+  WHERE i.i + 2 <= len(e.entity)
+),
+ent_sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         min(md5(seed || '|' || shingle)) AS minhash
+  FROM ent_shingles CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed
+),
+ent_bands AS (
+  SELECT doc_id, CAST(seed % 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM ent_sigs GROUP BY doc_id, seed % 4
+),
+ent_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ent_bands a JOIN ent_bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+ent_sizes AS (SELECT doc_id, count(*) AS n FROM ent_shingles GROUP BY doc_id),
+ent_verified AS (
+  SELECT p.doc_a, p.doc_b,
+         coalesce(i.n_inter, 0) / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+  FROM ent_pairs p
+  LEFT JOIN (
+    SELECT p2.doc_a, p2.doc_b, count(*) AS n_inter
+    FROM ent_pairs p2
+    JOIN ent_shingles s1 ON s1.doc_id = p2.doc_a
+    JOIN ent_shingles s2 ON s2.doc_id = p2.doc_b AND s2.shingle = s1.shingle
+    GROUP BY p2.doc_a, p2.doc_b
+  ) i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN ent_sizes sa ON sa.doc_id = p.doc_a
+  JOIN ent_sizes sb ON sb.doc_id = p.doc_b
+)
+"""
+    )
+
+    def _entity_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = build_stages(spark, sf_dir)["triples"]
+        entities = (
+            t.select(F.col("subj").alias("entity"))
+            .unionByName(t.select(F.col("obj").alias("entity")))
+            .distinct()
+        )
+        idx = F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i")
+        return (
+            entities.select("entity", idx)
+            .where(F.col("i") + 2 <= F.length("entity"))
+            .select(
+                F.col("entity").alias("doc_id"),
+                F.expr("substring(entity, i, 3)").alias("shingle"),
+            )
+            .distinct()
+        )
+
+    @register(
+        "entity_canon_candidates",
+        ENT_CTES + "SELECT doc_a AS ent_a, doc_b AS ent_b FROM ent_pairs",
+    )
+    def q_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Entity canonicalization blocking (north star): char-3-gram
+        MinHash-LSH candidate pairs over graph entity surface forms —
+        the scaled Equiv closure's blocking stage."""
+        sh = _entity_shingles(spark, sf_dir)
+        pairs = candidate_pairs_lsh(lsh_bands(minhash_signatures(sh, 16), 4))
+        return pairs.select(
+            F.col("doc_a").alias("ent_a"), F.col("doc_b").alias("ent_b")
+        )
+
+    @register(
+        "entity_canon_clusters",
+        ENT_CTES.replace("WITH raw_tokens", "WITH RECURSIVE raw_tokens", 1)
+        + """,
+        ent_edges AS (SELECT doc_a AS a, doc_b AS b FROM ent_verified WHERE jaccard >= 0.5),
+        ent_nodes AS (SELECT a AS node FROM ent_edges UNION SELECT b FROM ent_edges),
+        ent_reach AS (
+          SELECT node, node AS r FROM ent_nodes
+          UNION
+          SELECT e.x, ent_reach.r FROM ent_reach
+          JOIN (SELECT a AS x, b AS y FROM ent_edges UNION ALL SELECT b, a FROM ent_edges) e
+            ON e.y = ent_reach.node
+        )
+        SELECT node AS entity, min(r) AS canonical FROM ent_reach GROUP BY node
+        """,
+    )
+    def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Entity canonicalization: verified near-dup surface forms
+        collapsed by connected components -> (entity, canonical id)."""
+        sh = _entity_shingles(spark, sf_dir)
+        pairs = candidate_pairs_lsh(lsh_bands(minhash_signatures(sh, 16), 4))
+        clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.5)
+        return clusters.select(
+            F.col("node").alias("entity"), F.col("component").alias("canonical")
+        )
+
+
+_register_entity_canonicalization()
+
+
+def _register_breadth() -> None:
+    @register(
+        "set_intersect_except",
+        """
+        SELECT 'both' AS which, CAST(k AS BIGINT) AS k FROM
+          (SELECT o_custkey AS k FROM orders INTERSECT SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'customer_only', CAST(k AS BIGINT) FROM
+          (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+        """,
+    )
+    def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Set intersect/except (SURVEY §2.7)."""
+        o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+        c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+        both = o.intersect(c).select(F.lit("both").alias("which"), "k")
+        only = c.exceptAll(o).distinct().select(
+            F.lit("customer_only").alias("which"), "k"
+        )
+        return both.unionByName(only)
+
+    @register(
+        "regex_class_rewrite",
+        KG_CTES
+        + """
+        SELECT regexp_replace(predicate || CAST(filler_rank AS VARCHAR),
+                              'Theme[0-9]+$', 'Theme') AS pred_class,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ranked GROUP BY 1
+        """,
+    )
+    def q_regex_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F10: regex class rewrites (the scorer's Theme[2-6]->Theme
+        canonicalization, deRE_evaluation.py:84,364-368)."""
+        ranked = build_stages(spark, sf_dir)["pairs"]
+        from dere_spark.operators.frames import best_fillers, score_pairs
+
+        r = best_fillers(score_pairs(ranked))
+        return (
+            r.select(
+                F.regexp_replace(
+                    F.concat("predicate", F.col("filler_rank").cast("string")),
+                    r"Theme[0-9]+$",
+                    "Theme",
+                ).alias("pred_class")
+            )
+            .groupBy("pred_class")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    @register(
+        "window_rank_kinds",
+        """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(rank() OVER wv AS INT) AS rk,
+               CAST(dense_rank() OVER wv AS INT) AS drk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id ORDER BY event_type)
+        """,
+    )
+    def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ranking-function family over event streams."""
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wv = Window.partitionBy("user_id").orderBy("event_type")
+        return ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(wv).cast("int").alias("rk"),
+            F.dense_rank().over(wv).cast("int").alias("drk"),
+        )
+
+
+_register_breadth()
