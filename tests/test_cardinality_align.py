@@ -116,3 +116,41 @@ def test_soft_span_eval_modes(spark):
     r3 = {x["type_name"]: (x["tp"], x["fp"], x["fn"])
           for x in span_eval_counts_soft(hypo_edge, gold, mode="soft_boundary").collect()}
     assert r3["T"] == (0, 1, 1)
+
+
+def test_expand_span_bounds_reference_semantics():
+    from dere_spark.evaluation import expand_span_bounds
+
+    #       0123456789012345678901
+    text = "the overexpression ok"
+    # gold span 'express' [8,15) inside 'overexpression' [4,18):
+    # left scan from 6 walks to the space at 3 -> 4; right from 17 walks to
+    # the space at 18 -> 18
+    assert expand_span_bounds(text, 8, 15) == (4, 18)
+    # span at text start: clamps at 0
+    assert expand_span_bounds("abcdef gh", 1, 3) == (0, 6)
+    # the reference jumps 2 chars FIRST, skipping past nearer boundaries
+    # (beg-2 lands on 'a' at 0, scans left, clamps; end+2 passes the space)
+    assert expand_span_bounds("a bc d", 2, 4) == (0, 6)
+
+
+def test_soft_word_eval(spark):
+    from dere_spark.evaluation import span_eval_counts_soft_word
+
+    instances = spark.createDataFrame(
+        [("d", 0, "the overexpression ok")],
+        "doc_id string, instance_idx int, text string",
+    )
+    gold = spark.createDataFrame(
+        [("d", 0, "T", 8, 15, "gold")],
+        "doc_id string, instance_idx int, span_type string, left int, right int, source string",
+    )
+    # hypo predicted the whole word 'overexpression' [4,18): exact match
+    # fails, word-boundary soft match succeeds
+    hypo = spark.createDataFrame(
+        [("d", 0, "T", 4, 18, "predicted")],
+        "doc_id string, instance_idx int, span_type string, left int, right int, source string",
+    )
+    r = {x["type_name"]: (x["tp"], x["fp"], x["fn"])
+         for x in span_eval_counts_soft_word(hypo, gold, instances).collect()}
+    assert r["T"] == (1, 0, 0)
