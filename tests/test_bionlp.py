@@ -50,24 +50,22 @@ def test_gazetteer_is_deterministic(spark):
     assert all(t != "Protein" for _, t in g1)
 
 
-def test_trained_scorer_beats_heuristic(spark):
+def test_trained_scorer_beats_heuristic(spark, result):
     from dere_spark.bionlp import run_bionlp_eval_trained
 
     trained = run_bionlp_eval_trained(spark, TRAIN, TRAIN)
-    base = run_bionlp_eval(spark, TRAIN, TRAIN)
-    assert trained.fscore("frame") >= base.fscore("frame"), (
-        f"trained {trained.fscore('frame'):.4f} < baseline {base.fscore('frame'):.4f}"
+    assert trained.fscore("frame") >= result.fscore("frame"), (
+        f"trained {trained.fscore('frame'):.4f} < baseline {result.fscore('frame'):.4f}"
     )
 
 
-def test_nested_extraction_beats_flat(spark):
+def test_nested_extraction_beats_flat(spark, result):
     from dere_spark.bionlp import run_bionlp_eval_nested
 
     nested = run_bionlp_eval_nested(spark, TRAIN, TRAIN)
-    base = run_bionlp_eval(spark, TRAIN, TRAIN)
     # recursive-frame prediction must beat span-Theme-only extraction
-    assert nested.fscore("frame") > base.fscore("frame"), (
-        f"nested {nested.fscore('frame'):.4f} <= flat {base.fscore('frame'):.4f}"
+    assert nested.fscore("frame") > result.fscore("frame"), (
+        f"nested {nested.fscore('frame'):.4f} <= flat {result.fscore('frame'):.4f}"
     )
     # and produce genuinely nested structures: frame-kind Theme fills exist
     # (checked indirectly: nested recall above the span-only limit for
