@@ -103,3 +103,88 @@ def stream_windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_stateful_sessions(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session aggregation
+    with ``applyInPandasWithState`` (the brief's custom-stateful-operator
+    pattern) — sessions close when no event arrives within ``gap_seconds``
+    of the session's end (state carries the open session; the event-time
+    watermark bounds state and emits timed-out sessions).
+
+    Emits one row per CLOSED session: (user_id, session_start, session_end,
+    n_events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            closed.append((user_id, start_ms, end_ms, n))
+            state.remove()
+        else:
+            start_ms = end_ms = None
+            n = 0
+            if state.exists:
+                start_ms, end_ms, n = state.get
+            ts_ms: list = []
+            for pdf in pdf_iter:
+                ts_ms.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf["ts"]))
+            for t in sorted(ts_ms):
+                if start_ms is None:
+                    start_ms, end_ms, n = t, t, 1
+                elif t - end_ms <= gap_seconds * 1000:
+                    end_ms, n = max(end_ms, t), n + 1
+                else:
+                    closed.append((user_id, start_ms, end_ms, n))
+                    start_ms, end_ms, n = t, t, 1
+            if start_ms is not None:
+                state.update((start_ms, end_ms, n))
+                state.setTimeoutTimestamp(end_ms + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="ms") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
