@@ -30,7 +30,13 @@ HEADLINE = [
     "window_sessionize",
     "topk_terms_per_lang",
     "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "entity_canon_candidates",
     "text_quality",
+    "text_language_id",
 ]
 
 
