@@ -1439,3 +1439,21 @@ def _register_breadth() -> None:
 
 
 _register_breadth()
+
+
+def _register_rows_only() -> None:
+    # Non-SQL-expressible op (no Porter stemmer in offline DuckDB): the
+    # driver records a rows-only check for entries without an oracle.
+    @register("text_porter_stems", oracle=None)
+    def q_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F4: Porter-stemmed distinct vocabulary of the corpus via the
+        Arrow column transform (rows-only gate; 75 published vectors are
+        unit-tested in tests/test_porter.py)."""
+        from dere_spark.functions.porter import stem_tokens
+
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        toks = docs.select(F.explode(F.split("text", " ", -1)).alias("token")).distinct()
+        return stem_tokens(toks).select("token", "stem").distinct()
+
+
+_register_rows_only()

@@ -26,5 +26,5 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles, but must be
     # deliberate — keep this list in sync when adding such ops
-    allowed_rows_only: set[str] = set()
+    allowed_rows_only: set[str] = {"text_porter_stems"}
     assert missing <= allowed_rows_only, f"queries missing oracles: {missing}"
