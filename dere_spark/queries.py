@@ -339,7 +339,7 @@ def _register_relational() -> None:
         """
         SELECT c.c_custkey AS custkey,
                CAST(coalesce(count(o.o_orderkey), 0) AS BIGINT) AS n_orders,
-               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+               CAST(CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey
         """,
@@ -358,6 +358,7 @@ def _register_relational() -> None:
                     F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
                 )
                 .cast("decimal(18,2)")
+                .cast("double")
                 .alias("total_spend"),
             )
         )
@@ -366,9 +367,9 @@ def _register_relational() -> None:
         "agg_pricing_summary",
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -385,15 +386,18 @@ def _register_relational() -> None:
             .agg(
                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                 .cast("decimal(18,2)")
+                .cast("double")
                 .alias("sum_qty"),
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                 .cast("decimal(18,2)")
+                .cast("double")
                 .alias("sum_base_price"),
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
                 )
                 .cast("decimal(38,4)")
+                .cast("double")
                 .alias("sum_disc_price"),
                 F.count(F.lit(1)).alias("count_order"),
             )
@@ -1191,7 +1195,7 @@ def _register_round1_extras() -> None:
         SELECT coalesce(event_type, '[ALL]') AS event_type,
                coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), '[ALL]') AS day,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS total_value
         FROM events GROUP BY CUBE (event_type, date_trunc('day', ts))
         """,
     )
@@ -1209,6 +1213,7 @@ def _register_round1_extras() -> None:
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("value").cast("decimal(18,4)"))
                 .cast("decimal(38,4)")
+                .cast("double")
                 .alias("total_value"),
             )
             .select(
