@@ -57,9 +57,13 @@ def best_fillers(scored: DataFrame) -> DataFrame:
     physical-order dependence, so identical output at local[8] and
     local[32].
     """
-    w = Window.partitionBy("doc_id", "anchor_idx", "frame_type", "slot_name").orderBy(
-        F.abs(F.col("token_distance")).asc(), F.col("filler_idx").asc()
-    )
+    # "bucket" is functionally dependent on anchor_idx (floor(idx/k)), so
+    # adding it to the partition key changes nothing semantically but lets
+    # the window reuse the banded join's (doc_id, bucket) hash distribution
+    # without a new exchange.
+    w = Window.partitionBy(
+        "doc_id", "bucket", "anchor_idx", "frame_type", "slot_name"
+    ).orderBy(F.abs(F.col("token_distance")).asc(), F.col("filler_idx").asc())
     return scored.withColumn("filler_rank", F.row_number().over(w))
 
 
@@ -95,7 +99,7 @@ def assemble_frames(ranked: DataFrame, plan: PlanSpec) -> DataFrame:
         # corpus's doc_id hash partitioning, so this adds NO exchange and
         # never recomputes the fills subtree (a semi-join formulation was
         # benchmarked: it doubled the plan and added two shuffles).
-        wf = Window.partitionBy("doc_id", "anchor_idx", "frame_type")
+        wf = Window.partitionBy("doc_id", "bucket", "anchor_idx", "frame_type")
         cond = None
         tmp_cols = []
         for i, lab in enumerate(required):

@@ -3,17 +3,27 @@
 The reference enumerates ``product(instance.spans, instance.spans)`` and
 keeps only pairs whose (anchor_type, filler_type) is plausible under the
 schema (dere/models/_baseline/slot_classifier.py:347-383). Done naively at
-web scale that is quadratic per page; we instead:
+web scale that is quadratic per page; we instead **band** the join:
 
-  * equi-join on doc_id (instance locality makes this a hash join, NOT a
-    cross join — Catalyst shuffles both sides once on doc_id);
-  * push the compiled plausible-relations whitelist INTO the join as a
-    broadcast dimension, so implausible pairs die before leaving the join
-    (the reference's biggest pruner, kept as pushdown);
-  * bound the pair window by token distance (``max_token_distance``), which
-    turns the per-document blow-up from O(n²) to O(n·k) — the distance
-    predicate is part of the join condition so AQE sees the true output
-    size; skewed giant pages are additionally split by AQE skew-join.
+  * each span gets a bucket ``floor(token_idx / k)`` (k = the distance
+    bound). A filler within ±k tokens of an anchor is always in the
+    anchor's bucket or an adjacent one, so the FILLER side is exploded to
+    buckets {b-1, b, b+1} and the join equi-key is ``(doc_id, bucket)``
+    with the anchor's own bucket. Each qualifying (anchor, filler) pair
+    matches on exactly one bucket value — no dedup needed — and a document
+    with n spans materializes O(n·k) rows inside the join instead of the
+    O(n²) a doc_id-only equi-key would: the distance bound is IN the
+    equi-key, not a post-join filter over a quadratic intermediate.
+  * a giant page no longer lands in one hash-join cell: its spans spread
+    over n/k buckets, so skew is structurally bounded (on top of AQE's
+    runtime skew-split).
+  * the compiled plausible-relations whitelist is pushed INTO the join as
+    a broadcast dimension, so implausible pairs die before leaving the
+    join (the reference's biggest pruner, kept as pushdown).
+  * the anchor's ``bucket`` is kept as an output column: it is a pure
+    function of ``anchor_idx``, so downstream windows keyed on
+    (doc_id, anchor_idx, ...) can add it to their partitionBy and reuse
+    the join's (doc_id, bucket) hash distribution with NO extra exchange.
 """
 
 from __future__ import annotations
@@ -43,16 +53,33 @@ def candidate_pairs(
     whitelist: DataFrame,
     max_token_distance: int = 3,
 ) -> DataFrame:
-    """Self-join spans with itself per document, whitelist-pruned.
+    """Banded self-join of spans per document, whitelist-pruned.
 
     Output: one row per plausible (anchor, filler, relation-label) triple
     within the distance window, with signed token distance
-    (filler_idx - anchor_idx, never 0 — a span can't fill its own anchor).
+    (filler_idx - anchor_idx, never 0 — a span can't fill its own anchor)
+    and the anchor's ``bucket`` (= floor(anchor_idx / k), for downstream
+    exchange reuse; callers that expose pairs externally should drop it).
     """
-    a = spans.alias("a")
-    f = spans.alias("f")
+    k = max(1, int(max_token_distance))
+    a = spans.withColumn("bucket", F.floor(F.col("token_idx") / k)).alias("a")
+    f = spans.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("token_idx") / k) - 1,
+                F.floor(F.col("token_idx") / k),
+                F.floor(F.col("token_idx") / k) + 1,
+            )
+        ),
+    ).alias("f")
     pairs = (
-        a.join(f, F.col("a.doc_id") == F.col("f.doc_id"), "inner")
+        a.join(
+            f,
+            (F.col("a.doc_id") == F.col("f.doc_id"))
+            & (F.col("a.bucket") == F.col("f.bucket")),
+            "inner",
+        )
         .where(F.col("a.token_idx") != F.col("f.token_idx"))
         .where(
             F.abs(F.col("f.token_idx") - F.col("a.token_idx")) <= max_token_distance
@@ -65,6 +92,7 @@ def candidate_pairs(
         )
         .select(
             F.col("a.doc_id").alias("doc_id"),
+            F.col("a.bucket").alias("bucket"),
             F.col("a.token_idx").alias("anchor_idx"),
             F.col("a.span_type").alias("anchor_type"),
             F.col("a.left").alias("anchor_left"),

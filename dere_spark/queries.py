@@ -179,8 +179,10 @@ def q_kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     KG_CTES + "SELECT * FROM pairs",
 )
 def q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-pair self theta-join with whitelist pushdown (J1)."""
-    return build_stages(spark, sf_dir)["pairs"]
+    """Candidate-pair banded self theta-join with whitelist pushdown (J1).
+    The internal band bucket (exchange-reuse column) is dropped at the
+    external boundary."""
+    return build_stages(spark, sf_dir)["pairs"].drop("bucket")
 
 
 @register(

@@ -19,14 +19,41 @@ def _executed_plan(df) -> str:
 
 
 def test_pipeline_shuffle_budget(spark, sf_dir):
-    """The full triples plan pays at most 2 data exchanges (one per side
-    of the candidate self-join — same subtree, reused at runtime by AQE);
-    dimension joins must all be broadcasts."""
+    """The full triples plan pays at most 4 data-exchange nodes, with a
+    known accounting: 2× hashpartitioning(doc_id) — the tokenizer-window
+    subtree printed once per self-join side, the SAME exchange reused at
+    runtime by AQE — and 2× hashpartitioning(doc_id, bucket) feeding the
+    banded candidate join. Downstream windows include the bucket in their
+    partition keys, so NO exchange follows the join. Dimension joins must
+    all be broadcasts."""
     plan = _executed_plan(build_stages(spark, sf_dir)["triples"])
     counts = Counter(re.findall(r"(\w*Exchange\w*)", plan))
     data_exchanges = counts.get("Exchange", 0)
-    assert data_exchanges <= 2, f"shuffle crept in: {counts}\n{plan[:2000]}"
+    assert data_exchanges <= 4, f"shuffle crept in: {counts}\n{plan[:2000]}"
+    # every data exchange is one of the two known keys
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for k in keys:
+        cols = [c.split("#")[0].strip() for c in k.split(",")[:-1]]
+        assert cols in (["doc_id"], ["doc_id", "bucket"]), f"unexpected exchange key: {k}"
     assert counts.get("BroadcastExchange", 0) >= 3  # gaz, whitelist, dictionaries
+
+
+def test_candidate_join_is_banded(spark, sf_dir):
+    """The J1 self-join's equi-key must carry the token-distance band
+    bucket — (doc_id, bucket) — so a giant page cannot materialize O(n²)
+    rows inside the join (VERDICT r1 'What's wrong' #3)."""
+    plan = _executed_plan(build_stages(spark, sf_dir)["pairs"])
+    joins = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin)\w*\s+\[([^\]]*)\],\s*\[([^\]]*)\]", plan
+    )
+    assert joins, f"no shuffled join found in pairs plan:\n{plan[:1500]}"
+    for left, right in joins:
+        lcols = {c.split("#")[0].strip() for c in left.split(",")}
+        rcols = {c.split("#")[0].strip() for c in right.split(",")}
+        assert "bucket" in lcols and "bucket" in rcols, (
+            f"self-join equi-key lost the band bucket: [{left}] vs [{right}]"
+        )
+        assert "doc_id" in lcols and "doc_id" in rcols
 
 
 def test_scan_column_pruning(spark, sf_dir):
