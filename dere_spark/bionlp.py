@@ -545,6 +545,27 @@ def _training_pairs(corpus: Dict[str, DataFrame], max_dist: int = 300) -> DataFr
     ).withColumn("label", F.coalesce("label", F.lit(0.0)))
 
 
+#: Above this row count the pair-classifier fit runs with distributed
+#: gradients (executor-side Σ g·x partials, driver folds num_buckets
+#: scalars) instead of collecting the design matrix — the J2 gold-arc
+#: pair table is billions of rows at web scale and must never reach the
+#: driver. Below it, the local fit is used: weights agree to ~1e-9
+#: (tests/test_logreg.py) so the switch is a pure execution choice.
+DISTRIBUTED_FIT_THRESHOLD = 50_000
+
+
+def _fit_pair_classifier(pairs: DataFrame, distributed: bool | None = None):
+    """M3 trainer dispatch: same logistic model either way; `distributed`
+    forces a path, None auto-selects by training-set size."""
+    from dere_spark.operators.logreg import fit_logistic, fit_logistic_distributed
+
+    if distributed is None:
+        distributed = pairs.count() > DISTRIBUTED_FIT_THRESHOLD
+    if distributed:
+        return fit_logistic_distributed(pairs, FEATURE_COLS)
+    return fit_logistic(pairs, FEATURE_COLS)
+
+
 def induce_trigger_gazetteer_filtered(
     train: Dict[str, DataFrame], min_precision: float = 0.0
 ) -> DataFrame:
@@ -585,11 +606,9 @@ def run_bionlp_eval_learned(
     """Full learned path: filtered gazetteer triggers + logistic pair
     classifier; Theme cardinality from the schema (argmax for max_card=1,
     all-above-threshold for unbounded Binding)."""
-    from dere_spark.operators.logreg import fit_logistic
-
     spec = load_task_spec(BIONLP_SPEC)
     train = load_brat(spark, train_dir, spec)
-    model = fit_logistic(_training_pairs(train, max_dist), FEATURE_COLS)
+    model = _fit_pair_classifier(_training_pairs(train, max_dist))
     gaz = induce_trigger_gazetteer_filtered(train, min_trigger_precision)
     gold = load_brat(spark, eval_dir, spec)
 

@@ -38,6 +38,93 @@ class LogisticModel:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def fit_logistic_distributed(
+    train: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    l2: float = 1e-3,
+    lr: float = 0.5,
+    iterations: int = 300,
+    num_buckets: int = 64,
+) -> LogisticModel:
+    """Full-batch GD with DISTRIBUTED gradients — no full-data collect.
+
+    Per iteration, each content-hash bucket computes its partial
+    sufficient statistics (Σ g·x, Σ g) with a JVM-side grouped
+    aggregation — the gradient residual g = (σ(w·x + b) − y)·class_weight
+    is a Catalyst expression over the CURRENT weights as literals, so the
+    whole inner loop runs in whole-stage codegen with zero Python on the
+    executors. Only ``num_buckets`` rows of d+1 scalars reach the driver,
+    which folds them in fixed bucket order. The training set never leaves
+    the executors — at a billions-of-rows J2 gold-arc pair table this is
+    the scale path the driver-collect ``fit_logistic`` is not.
+
+    Determinism across parallelism levels (the scaling criterion):
+      * rows are bucketed by ``xxhash64`` of their CONTENT, not by
+        physical partition — the same row lands in the same bucket at
+        local[8] and local[32];
+      * buckets are cached sorted (sortWithinPartitions), and each bucket
+        lives in exactly one partition, so the per-bucket partial sum
+        accumulates in a fixed row order;
+      * the driver folds bucket partials in ascending bucket order.
+    So the fitted weights are bit-identical across cluster sizes for a
+    fixed ``num_buckets``. (They differ from ``fit_logistic`` only by
+    float-summation order — parity is ~1e-9, covered by tests.)
+    """
+    d = len(feature_cols)
+    cols = [F.col(c).cast("double").alias(c) for c in feature_cols] + [
+        F.col(label_col).cast("double").alias("_y")
+    ]
+    names = list(feature_cols) + ["_y"]
+    proj = train.select(*cols).withColumn(
+        "_b", F.pmod(F.xxhash64(*names), F.lit(num_buckets)).cast("int")
+    )
+    data = (
+        proj.repartition(num_buckets, "_b").sortWithinPartitions("_b", *names).persist()
+    )
+    try:
+        head = data.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+        ).first()
+        n = int(head["n"])
+        if n == 0:
+            raise ValueError("empty training set")
+        n_pos = max(float(head["n_pos"] or 0.0), 1.0)
+        n_neg = max(float(n) - float(head["n_pos"] or 0.0), 1.0)
+        # identical scalar path to fit_logistic's sample_w normalization
+        w_pos_raw = n_neg / n_pos
+        mean_w = (n_pos * w_pos_raw + n_neg * 1.0) / n
+        w_pos = w_pos_raw / mean_w
+        w_neg = 1.0 / mean_w
+
+        w = np.zeros(d)
+        b = 0.0
+        for _ in range(iterations):
+            z = F.lit(float(b))
+            for c, wi in zip(feature_cols, w):
+                z = z + F.col(c) * F.lit(float(wi))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            g = (p - F.col("_y")) * F.when(
+                F.col("_y") > 0.5, F.lit(w_pos)
+            ).otherwise(F.lit(w_neg))
+            aggs = [F.sum(g * F.col(c)).alias(f"gx{i}") for i, c in enumerate(feature_cols)]
+            aggs.append(F.sum(g).alias("g"))
+            parts = sorted(
+                data.groupBy("_b").agg(*aggs).collect(), key=lambda r: r["_b"]
+            )
+            sum_gx = np.zeros(d)
+            sum_g = 0.0
+            for r in parts:
+                for i in range(d):
+                    sum_gx[i] += r[f"gx{i}"]
+                sum_g += r["g"]
+            w = w - lr * (sum_gx / n + l2 * w)
+            b = b - lr * (sum_g / n)
+    finally:
+        data.unpersist()
+    return LogisticModel(tuple(feature_cols), tuple(float(x) for x in w), float(b))
+
+
 def fit_logistic(
     train: DataFrame,
     feature_cols: Sequence[str],
