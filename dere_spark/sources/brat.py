@@ -332,15 +332,43 @@ def resolve_frame_instances(
     )
 
 
+def normalize_corpus_quotes(corpus: Dict[str, DataFrame]) -> Dict[str, DataFrame]:
+    """P5: the reference's destructive quote normalization — every double
+    quote in instance text becomes a single quote BEFORE tokenization, and
+    the mutation is permanent (dumps emit the mutated text:
+    span_classifier.py:263-264, 310, 359, 420; slot_classifier.py:294;
+    Span.text is a derived property of the mutated instance text,
+    corpus.py:201-203). Same-length replacement, so offsets are unchanged;
+    span text columns are re-derived to keep the fidelity invariant."""
+    out = dict(corpus)
+    out["instances"] = corpus["instances"].withColumn(
+        "text", F.translate("text", '"', "'")
+    )
+    spans = corpus["spans"]
+    for c in ("text", "span_text"):
+        if c in spans.columns:
+            spans = spans.withColumn(c, F.translate(c, '"', "'"))
+    out["spans"] = spans
+    return out
+
+
 def load_brat(
     spark: SparkSession,
     path: str,
     spec: TaskSpecification,
     load_gold: bool = True,
+    normalize_quotes: bool = True,
 ) -> Dict[str, DataFrame]:
     """Load a BRAT directory into the engine's corpus tables.
 
     Returns dict with `instances`, `spans`, `frames`, `slot_fills`.
+
+    ``normalize_quotes`` applies the reference's destructive '"'→"'"
+    preprocessing (see normalize_corpus_quotes). It runs AFTER span
+    parsing — the reference asserts T-line text against the ORIGINAL
+    instance text at load (brat_corpus_io.py:158) and mutates afterwards —
+    and defaults on because every reference model path normalizes before
+    any tokenization or dump.
     """
     instances = load_instances(spark, path)
     ann = _read_annotation_lines(spark, path, load_gold)
@@ -361,23 +389,25 @@ def load_brat(
             "frame_type string, slot_name string, doc_id string, source string, "
             "frame_tag string, fill_idx int, filler_tag string, filler_kind string",
         )
-        return {
+        corpus = {
             "instances": instances,
             "spans": empty_spans,
             "frames": empty_frames,
             "slot_fills": empty_fills,
         }
+        return normalize_corpus_quotes(corpus) if normalize_quotes else corpus
     span_types = _span_type_df(spark, spec)
     frame_slots = _frame_slot_df(spark, spec)
     spans = parse_spans(ann, instances, span_types)
     parsed = parse_frames(ann, frame_slots)
     frames = resolve_frame_instances(parsed["frames"], parsed["slot_fills"], spans)
-    return {
+    corpus = {
         "instances": instances,
         "spans": spans,
         "frames": frames,
         "slot_fills": parsed["slot_fills"],
     }
+    return normalize_corpus_quotes(corpus) if normalize_quotes else corpus
 
 
 # ---------------------------------------------------------------------------

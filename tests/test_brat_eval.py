@@ -161,3 +161,55 @@ def test_dump_reload_evaluates_perfect(spark, spec, corpus, tmp_path):
     assert span_fidelity_violations(reloaded["spans"]).count() == 0
     r = evaluate(reloaded, corpus)
     assert r.precision() == 1.0 and r.recall() == 1.0, "\n" + r.report()
+
+
+def test_quote_normalization_round_trip(spark, spec, tmp_path):
+    """P5: '"'→"'" is destructive and happens before tokenize — dumps emit
+    the mutated text everywhere (.txt AND derived span text in .ann),
+    offsets unchanged (reference span_classifier.py:263-264; Span.text is
+    a property over the mutated instance text, corpus.py:201-203)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    text = 'He said "BMP-6 blocks" the pathway loudly\n'
+    (src / "d1.txt").write_text(text)
+    # span covers quoted text: "BMP-6 (offsets include the opening quote)
+    (src / "d1.a1").write_text('T1\tProtein 9 14\tBMP-6\n')
+    (src / "d1.a2").write_text('T2\tDeacetylation 15 21\tblocks\n')
+
+    corpus = load_brat(spark, str(src), spec)
+    inst_text = corpus["instances"].select("text").collect()[0][0]
+    assert '"' not in inst_text
+    assert "He said 'BMP-6 blocks' the pathway" in inst_text
+    # offsets untouched, span text re-derived from the mutated text
+    span = corpus["spans"].where(F.col("tag") == "T1").collect()[0]
+    assert (span["left"], span["right"]) == (9, 14)
+    assert span["text"] == "BMP-6"
+
+    dumped = {r["doc_id"]: r for r in dump_brat(corpus, just_predictions=False).collect()}
+    assert '"' not in dumped["d1"]["txt"]
+    assert "'BMP-6 blocks'" in dumped["d1"]["txt"]
+    assert '"' not in dumped["d1"]["a1"] and '"' not in dumped["d1"]["a2"]
+
+    # and the mutated dump round-trips losslessly (fixpoint: a second
+    # load+dump is byte-identical — normalization is idempotent)
+    out = tmp_path / "dump"
+    out.mkdir()
+    for r in dumped.values():
+        (out / f"{r['doc_id']}.txt").write_text(r["txt"])
+        (out / f"{r['doc_id']}.a1").write_text(r["a1"])
+        (out / f"{r['doc_id']}.a2").write_text(r["a2"])
+    re_dumped = {
+        r["doc_id"]: r
+        for r in dump_brat(load_brat(spark, str(out), spec), just_predictions=False).collect()
+    }
+    assert re_dumped["d1"]["txt"] == dumped["d1"]["txt"]
+    assert re_dumped["d1"]["a1"] == dumped["d1"]["a1"]
+
+
+def test_quote_normalization_can_be_disabled(spark, spec, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "d1.txt").write_text('a "quoted" word\n')
+    (src / "d1.a1").write_text('T1\tProtein 3 9\tquoted\n')
+    corpus = load_brat(spark, str(src), spec, normalize_quotes=False)
+    assert '"' in corpus["instances"].select("text").collect()[0][0]
