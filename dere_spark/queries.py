@@ -166,6 +166,34 @@ def q_kg_text_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "treebank_fidelity",
+    KG_CTES
+    + """
+    SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS token_idx,
+           d.text AS token, CAST(0 AS INT) AS "left", CAST(0 AS INT) AS "right"
+    FROM documents d WHERE 1 = 0
+    """,
+)
+def q_treebank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treebank-parity tokenizer (F5, nltk 3.3 semantics re-implemented in
+    an Arrow kernel): every token must address a verbatim substring of the
+    document — violations must be EMPTY on the punctuation-heavy corpus.
+    Rule-level parity vs recorded nltk vectors lives in
+    tests/test_treebank.py; this gate proves the offset contract at sf."""
+    from dere_spark.operators.treebank import tokenize_treebank
+
+    docs = load_documents(spark, sf_dir)
+    toks = tokenize_treebank(docs)
+    return fidelity_violations(docs, toks).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("token_idx").cast("int").alias("token_idx"),
+        "token",
+        F.col("left").cast("int").alias("left"),
+        F.col("right").cast("int").alias("right"),
+    )
+
+
+@register(
     "kg_spans",
     KG_CTES + 'SELECT doc_id, token_idx, span_type, "left", "right", text, source FROM spans',
 )

@@ -1,0 +1,114 @@
+"""Treebank tokenizer parity (F5) against RECORDED nltk==3.3 vectors.
+
+nltk is not installable in this sandbox, so expected outputs are pinned
+here by hand from the published nltk 3.3 behavior — including nltk's own
+documented TreebankWordTokenizer example — rather than computed live.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dere_spark.operators.treebank import (
+    tokenize_treebank,
+    treebank_spans,
+    treebank_tokens,
+)
+
+# nltk's documented example (TreebankWordTokenizer docstring)
+NLTK_DOC_TEXT = (
+    "Good muffins cost $3.88\nin New York.  Please buy me\ntwo of them.\nThanks."
+)
+NLTK_DOC_TOKENS = [
+    "Good", "muffins", "cost", "$", "3.88", "in", "New", "York.",
+    "Please", "buy", "me", "two", "of", "them.", "Thanks", ".",
+]
+NLTK_DOC_SPANS = [
+    (0, 4), (5, 12), (13, 17), (18, 19), (19, 23), (24, 26), (27, 30),
+    (31, 36), (38, 44), (45, 48), (49, 51), (52, 55), (56, 58), (59, 64),
+    (65, 71), (71, 72),
+]
+
+RECORDED = [
+    ("Hello, world.", ["Hello", ",", "world", "."]),
+    ("don't", ["do", "n't"]),
+    ("can't", ["ca", "n't"]),
+    ("cannot", ["can", "not"]),
+    ("gonna", ["gon", "na"]),
+    ("I'll see you", ["I", "'ll", "see", "you"]),
+    ("it's", ["it", "'s"]),
+    ("they're here", ["they", "'re", "here"]),
+    ("we've left; so there", ["we", "'ve", "left", ";", "so", "there"]),
+    # single quotes post-P5 normalization: opening quote stays attached
+    # (nltk 3.3 has no leading-single-quote rule), closing quote splits
+    ("He said 'hi' and left.", ["He", "said", "'hi", "'", "and", "left", "."]),
+    ("a (small) test?", ["a", "(", "small", ")", "test", "?"]),
+    ("range 1--2 now", ["range", "1", "--", "2", "now"]),
+    ("wait... what", ["wait", "...", "what"]),
+    ("a:b and 3,500 vs x,y", ["a", ":", "b", "and", "3,500", "vs", "x", ",", "y"]),
+    ("IL-2 gene expression and NF-kappa B activation",
+     ["IL-2", "gene", "expression", "and", "NF-kappa", "B", "activation"]),
+]
+
+
+def test_nltk_documented_example():
+    assert treebank_tokens(NLTK_DOC_TEXT) == NLTK_DOC_TOKENS
+    assert treebank_spans(NLTK_DOC_TEXT) == NLTK_DOC_SPANS
+
+
+@pytest.mark.parametrize("text,want", RECORDED)
+def test_recorded_token_vectors(text, want):
+    assert treebank_tokens(text) == want
+
+
+@pytest.mark.parametrize("text,_", RECORDED)
+def test_span_fidelity(text, _):
+    # every span must address a verbatim substring, monotone non-overlapping
+    spans = treebank_spans(text)
+    prev = 0
+    for (l, r) in spans:
+        assert 0 <= l < r <= len(text)
+        assert l >= prev
+        prev = r
+    # and spans must reproduce the token stream (modulo quote-back: with
+    # P5 upstream there are no double quotes, so identity holds exactly)
+    assert [text[l:r] for (l, r) in spans] == treebank_tokens(text)
+
+
+def test_double_quote_quote_back():
+    # without P5 normalization, " tokens convert to ``/'' internally but
+    # spans must still address the raw text
+    text = 'She said "go home" now.'
+    spans = treebank_spans(text)
+    toks = [text[l:r] for (l, r) in spans]
+    assert toks == ["She", "said", '"', "go", "home", '"', "now", "."]
+
+
+def test_spark_kernel_matches_python(spark):
+    rows = [("d%d" % i, t) for i, (t, _) in enumerate(RECORDED)] + [
+        ("doc", NLTK_DOC_TEXT)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = (
+        tokenize_treebank(df)
+        .orderBy("doc_id", "token_idx")
+        .collect()
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["token"], r["left"], r["right"]))
+    for doc_id, text in rows:
+        want = [(text[l:r], l, r) for (l, r) in treebank_spans(text)]
+        assert by_doc.get(doc_id, []) == want, doc_id
+
+
+def test_fidelity_on_corpus_sample(spark, sf_dir):
+    """substring(text, left+1, right-left) == token on real documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    toks = tokenize_treebank(docs.selectExpr("doc_id", "text"))
+    joined = toks.join(docs.select("doc_id", "text"), "doc_id")
+    bad = joined.where(
+        F.expr("substring(text, left + 1, right - left)") != F.col("token")
+    )
+    assert bad.count() == 0
