@@ -545,3 +545,52 @@ def span_eval_counts_soft_word(
             F.coalesce("fn", F.lit(0)).alias("fn"),
         )
     )
+
+
+def adjusted_match_counts(
+    hypo: DataFrame,
+    gold: DataFrame,
+    keys: List[str],
+    type_col: str = "span_type",
+) -> DataFrame:
+    """A4 — per-type existential match counts WITH the legacy scorer's
+    duplication adjustment (deRE_evaluation.py:879-924): when several hypo
+    rows match the same gold row, matched_answer is clamped to
+    min(matched_answer, matched_gold), so duplicated predictions cannot
+    inflate precision.
+
+    ``keys`` define the match equality (e.g. the span identity tuple);
+    ``type_col`` attributes counts per class. Output one row per type:
+    (type_name, n_gold, matched_gold, n_answer, matched_answer,
+    adj_matched_answer). All joins are key-equality semi-joins — fully
+    distributed, no all-pairs product.
+    """
+    h = hypo.select(type_col, *[c for c in keys if c != type_col])
+    g = gold.select(type_col, *[c for c in keys if c != type_col])
+    n_answer = h.groupBy(type_col).agg(F.count(F.lit(1)).alias("n_answer"))
+    n_gold = g.groupBy(type_col).agg(F.count(F.lit(1)).alias("n_gold"))
+    matched_answer = (
+        h.join(g, keys, "left_semi")
+        .groupBy(type_col)
+        .agg(F.count(F.lit(1)).alias("matched_answer"))
+    )
+    matched_gold = (
+        g.join(h, keys, "left_semi")
+        .groupBy(type_col)
+        .agg(F.count(F.lit(1)).alias("matched_gold"))
+    )
+    out = (
+        n_gold.join(n_answer, type_col, "full_outer")
+        .join(matched_gold, type_col, "full_outer")
+        .join(matched_answer, type_col, "full_outer")
+        .select(
+            F.col(type_col).alias("type_name"),
+            F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+            F.coalesce("matched_gold", F.lit(0)).alias("matched_gold"),
+            F.coalesce("n_answer", F.lit(0)).alias("n_answer"),
+            F.coalesce("matched_answer", F.lit(0)).alias("matched_answer"),
+        )
+    )
+    return out.withColumn(
+        "adj_matched_answer", F.least("matched_answer", "matched_gold")
+    )

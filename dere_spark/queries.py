@@ -1196,6 +1196,62 @@ def _register_round1_extras() -> None:
         )
 
     @register(
+        "eval_dup_adjustment",
+        """
+        WITH gold AS (
+            SELECT DISTINCT user_id, event_type,
+                   date_trunc('day', ts) AS day
+            FROM events WHERE value < 50
+        ), hypo AS (
+            SELECT user_id, event_type, date_trunc('day', ts) AS day
+            FROM events WHERE value >= 25
+        ), na AS (
+            SELECT event_type, count(*) AS n_answer FROM hypo GROUP BY event_type
+        ), ng AS (
+            SELECT event_type, count(*) AS n_gold FROM gold GROUP BY event_type
+        ), ma AS (
+            SELECT h.event_type, count(*) AS matched_answer FROM hypo h
+            WHERE EXISTS (SELECT 1 FROM gold g WHERE g.user_id = h.user_id
+                          AND g.event_type = h.event_type AND g.day = h.day)
+            GROUP BY h.event_type
+        ), mg AS (
+            SELECT g.event_type, count(*) AS matched_gold FROM gold g
+            WHERE EXISTS (SELECT 1 FROM hypo h WHERE g.user_id = h.user_id
+                          AND g.event_type = h.event_type AND g.day = h.day)
+            GROUP BY g.event_type
+        )
+        SELECT ng.event_type AS type_name,
+               CAST(coalesce(ng.n_gold, 0) AS BIGINT) AS n_gold,
+               CAST(coalesce(mg.matched_gold, 0) AS BIGINT) AS matched_gold,
+               CAST(coalesce(na.n_answer, 0) AS BIGINT) AS n_answer,
+               CAST(coalesce(ma.matched_answer, 0) AS BIGINT) AS matched_answer,
+               CAST(least(coalesce(ma.matched_answer, 0), coalesce(mg.matched_gold, 0)) AS BIGINT)
+                   AS adj_matched_answer
+        FROM ng
+        LEFT JOIN na ON na.event_type = ng.event_type
+        LEFT JOIN ma ON ma.event_type = ng.event_type
+        LEFT JOIN mg ON mg.event_type = ng.event_type
+        """,
+    )
+    def q_eval_dup_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A4: the legacy scorer's per-class duplication adjustment
+        min(matched_answer, matched_gold) (deRE_evaluation.py:879-924) as
+        a real aggregation operator — duplicated predictions of the same
+        gold item cannot inflate matched_answer."""
+        from dere_spark.evaluation import adjusted_match_counts
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_trunc("day", "ts")
+        )
+        gold = ev.where(F.col("value") < 50).select(
+            "user_id", "event_type", "day"
+        ).distinct()
+        hypo = ev.where(F.col("value") >= 25).select("user_id", "event_type", "day")
+        return adjusted_match_counts(
+            hypo, gold, ["user_id", "event_type", "day"], type_col="event_type"
+        )
+
+    @register(
         "corpus_split_stats",
         """
         SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
