@@ -1532,14 +1532,26 @@ def _register_breadth() -> None:
 _register_breadth()
 
 
-def _register_rows_only() -> None:
-    # Non-SQL-expressible op (no Porter stemmer in offline DuckDB): the
-    # driver records a rows-only check for entries without an oracle.
-    @register("text_porter_stems", oracle=None)
+def _register_porter() -> None:
+    # DuckDB has no Porter stemmer, so the oracle joins the corpus
+    # vocabulary against a RECORDED token->stem fixture
+    # (tests/fixtures/porter_stems.parquet, generated from the published
+    # 1980 algorithm; the algorithm itself is pinned by 75 published
+    # vectors in tests/test_porter.py). This makes the distributed kernel
+    # value-checked instead of rows-only.
+    @register(
+        "text_porter_stems",
+        """
+        SELECT v.token, f.stem
+        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+              FROM documents) v
+        JOIN read_parquet('/root/repo/tests/fixtures/porter_stems.parquet') f
+          ON f.token = v.token
+        """,
+    )
     def q_porter_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
         """F4: Porter-stemmed distinct vocabulary of the corpus via the
-        Arrow column transform (rows-only gate; 75 published vectors are
-        unit-tested in tests/test_porter.py)."""
+        Arrow column transform, value-checked against recorded stems."""
         from dere_spark.functions.porter import stem_tokens
 
         docs = load_documents(spark, sf_dir, columns=["text"])
@@ -1547,7 +1559,7 @@ def _register_rows_only() -> None:
         return stem_tokens(toks).select("token", "stem").distinct()
 
 
-_register_rows_only()
+_register_porter()
 
 
 def _register_ivf_search() -> None:
