@@ -90,3 +90,126 @@ def assign_buckets(
         .where(F.col("rk") == 1)
         .select(id_col, vec_col, "centroid_id")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means — the IVF centroid BUILD.
+
+    * seeding: the k vectors with the smallest md5(id) (md5 is the
+      engine's cross-engine deterministic "random", NOTES.md) — no RNG,
+      so the build is reproducible and oracle-checkable;
+    * assignment: cosine argmax via the broadcast-centroid join
+      (assign_buckets — one pass, no shuffle of the vector table);
+    * update: element-wise mean per bucket (posexplode -> partial+final
+      avg), ROUNDED to 6 decimals so float-summation-order drift (across
+      engines AND parallelism levels) cannot move a boundary vector
+      between buckets; empty buckets keep their previous centroid;
+    * each iteration is localCheckpoint-ed: plans stay flat for any
+      iteration count, matching the checkpoint/lineage policy
+      (plans/checkpoint.py) at web scale.
+
+    Returns (centroid_id int, centroid array<double>).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    cents = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias(
+                "centroid"
+            ),
+        )
+    )
+    for _ in range(iterations):
+        assigned = assign_buckets(embeddings, cents, vec_col, id_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: F.round(s["v"], 6),
+                ).alias("new_centroid")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_search_batch(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched many-query IVF search — the scale path for ANN serving.
+
+    Every query is routed to its ``nprobe`` nearest centroids (broadcast
+    centroid join — queries never shuffle the vector table), then scored
+    ONLY against the vectors of those buckets via an equi-join on
+    centroid_id. Per-query top-k by a window (deterministic ties:
+    cos desc, vec_id asc). Cost per query ~ nprobe/n_centroids of a full
+    scan; the bucket join is a plain shuffle-hash join that scales with
+    executors. Output: (query_id, vec_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    assigned = assign_buckets(embeddings, centroids, vec_col, id_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("_q_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            F.round(cosine(F.col("_qv"), F.col("centroid")), 6).alias("_q_sim"),
+        )
+        .withColumn("_prk", F.row_number().over(probe_w))
+        .where(F.col("_prk") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    cand = probes.join(assigned, "centroid_id").select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    topk_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(topk_w))
+        .where(F.col("rank") <= k)
+    )

@@ -1639,3 +1639,111 @@ def _register_ivf_search() -> None:
 
 
 _register_ivf_search()
+
+
+def _register_ivf_build_and_batch() -> None:
+    from dere_spark.operators.similarity import (
+        assign_buckets,
+        ivf_search_batch,
+        kmeans_centroids,
+    )
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+
+    def _assign(src: str, cents: str) -> str:
+        return (
+            f"SELECT vec_id, embedding, centroid_id FROM ("
+            f"SELECT e.vec_id, e.embedding, c.centroid_id, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"{_cos('e.embedding', 'c.centroid')} DESC, c.centroid_id ASC) AS rk "
+            f"FROM {src} e CROSS JOIN {cents} c) WHERE rk = 1"
+        )
+
+    def _update(assigned: str, prev: str) -> str:
+        return (
+            f"SELECT p.centroid_id, coalesce(m.centroid, p.centroid) AS centroid "
+            f"FROM {prev} p LEFT JOIN ("
+            f"SELECT centroid_id, list(round(v, 6) ORDER BY pos) AS centroid FROM ("
+            f"SELECT centroid_id, pos, avg(x) AS v FROM ("
+            f"SELECT centroid_id, unnest(embedding) AS x, "
+            f"unnest(generate_series(1, len(embedding))) AS pos FROM {assigned}) t "
+            f"GROUP BY centroid_id, pos) tt GROUP BY centroid_id) m "
+            f"ON m.centroid_id = p.centroid_id"
+        )
+
+    KMEANS_SQL = f"""
+        WITH seed AS (
+          SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS INT) AS centroid_id,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+          FROM (SELECT vec_id, embedding FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8)
+        ),
+        a1 AS ({_assign('embeddings', 'seed')}),
+        c1 AS ({_update('a1', 'seed')}),
+        a2 AS ({_assign('embeddings', 'c1')}),
+        c2 AS ({_update('a2', 'c1')}),
+        final AS ({_assign('embeddings', 'c2')})
+        SELECT vec_id, centroid_id FROM final
+    """
+
+    @register("sim_kmeans_buckets", KMEANS_SQL)
+    def q_kmeans_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF centroid BUILD: deterministic Lloyd's k-means (md5-seeded,
+        2 iterations, 6-dp-rounded updates) — the oracle unrolls the same
+        two iterations in SQL. Output: final bucket assignment."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_centroids(emb, k=8, iterations=2)
+        return assign_buckets(emb, cents).select("vec_id", "centroid_id")
+
+    BATCH_SQL = f"""
+        WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS ({_assign('embeddings', 'cents')}),
+        queries AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        probes AS (
+          SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                     {_cos('q.qv', 'c.centroid')} DESC, c.centroid_id ASC) AS prk
+            FROM queries q CROSS JOIN cents c) WHERE prk <= 1
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id,
+                 {_cos('p.qv', 'a.embedding')} AS cos_sim
+          FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
+          FROM cand) WHERE rank <= 5
+    """
+
+    @register("sim_ivf_batch_topk", BATCH_SQL)
+    def q_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched many-query IVF search (nprobe=1): every 50th vector is
+        a query; each probes only its nearest centroid's bucket and takes
+        per-query top-5. The queries-table join path — no per-query plan,
+        one bucket equi-join for the whole batch."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        queries = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_search_batch(emb, cents, queries, k=5, nprobe=1)
+
+
+_register_ivf_build_and_batch()

@@ -130,3 +130,54 @@ def test_multimodal_stub_features(spark):
 def test_real_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         RealCodec.decode(b"x", "image")
+
+
+def test_kmeans_ivf_recall(spark):
+    """IVF with the k-means build must reach recall@10 >= 0.9 vs exact
+    brute force on clustered data (the regime IVF is for), with nprobe=2
+    of 8 centroids — i.e. scanning ~25% of the corpus."""
+    import math
+
+    from dere_spark.operators.similarity import (
+        cosine_topk,
+        ivf_search_batch,
+        kmeans_centroids,
+    )
+
+    # 8 deterministic well-separated cluster directions in 16-d, 40
+    # points each (small angular jitter), no RNG
+    def unit(seed):
+        v = [math.sin(0.7 * seed * (i + 1)) + (2.0 if i == seed % 16 else 0.0)
+             for i in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    for c in range(8):
+        base = unit(c)
+        for j in range(40):
+            jit = [0.02 * math.sin(1.3 * (vid + i)) for i in range(16)]
+            rows.append((vid, [b + g for b, g in zip(base, jit)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(emb, k=8, iterations=3)
+    queries = emb.where("vec_id % 40 = 7").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    approx = ivf_search_batch(emb, cents, queries, k=10, nprobe=2).collect()
+    approx_ids = {}
+    for r in approx:
+        approx_ids.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    hits = total = 0
+    for q in queries.collect():
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk(emb, q["embedding"], k=10).collect()
+        }
+        hits += len(exact & approx_ids.get(q["query_id"], set()))
+        total += len(exact)
+    assert total == 80
+    assert hits / total >= 0.9, f"recall@10 = {hits / total}"
