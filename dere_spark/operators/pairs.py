@@ -74,8 +74,11 @@ def candidate_pairs(
         ),
     ).alias("f")
     pairs = (
+        # shuffle-hash, not sort-merge: both sides are narrow span rows,
+        # buckets are tiny (≤ a few spans), and the downstream windows
+        # re-sort on their own keys anyway — SMJ's two sorts are pure waste
         a.join(
-            f,
+            f.hint("shuffle_hash"),
             (F.col("a.doc_id") == F.col("f.doc_id"))
             & (F.col("a.bucket") == F.col("f.bucket")),
             "inner",

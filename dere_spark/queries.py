@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from dere_spark.operators.tokenize import fidelity_violations, tokenize
 from dere_spark.sources.documents import load_documents, load_table
-from dere_spark.webtext import GAZETTEERS, build_stages
+from dere_spark.webtext import GAZETTEERS, cached_stages
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -199,7 +199,7 @@ def q_treebank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer span detection as broadcast-hash join (SURVEY §2.3 J5)."""
-    return build_stages(spark, sf_dir)["spans"]
+    return cached_stages(spark, sf_dir)["spans"]
 
 
 @register(
@@ -210,7 +210,7 @@ def q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair banded self theta-join with whitelist pushdown (J1).
     The internal band bucket (exchange-reuse column) is dropped at the
     external boundary."""
-    return build_stages(spark, sf_dir)["pairs"].drop("bucket")
+    return cached_stages(spark, sf_dir)["pairs"].drop("bucket")
 
 
 @register(
@@ -220,7 +220,7 @@ def q_kg_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slot scoring, ranked filler selection, cardinality enforcement,
     frame assembly (M4/M5/M6, O1 argmin, P3 filter)."""
-    return build_stages(spark, sf_dir)["frames"]
+    return cached_stages(spark, sf_dir)["frames"]
 
 
 @register(
@@ -229,7 +229,7 @@ def q_kg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: entity-linked (subj, pred, obj) triples."""
-    return build_stages(spark, sf_dir)["triples"]
+    return cached_stages(spark, sf_dir)["triples"]
 
 
 @register(
@@ -244,7 +244,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over the graph (SURVEY §2.4 A1/A7): per-predicate,
     per-subject triple counts — partial aggregation (map-side combine) free."""
-    t = build_stages(spark, sf_dir)["triples"]
+    t = cached_stages(spark, sf_dir)["triples"]
     return t.groupBy("pred", "subj").agg(
         F.count(F.lit(1)).alias("n_triples"),
         F.countDistinct("obj").alias("n_distinct_obj"),
@@ -264,7 +264,7 @@ def q_kg_triple_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_pred_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-level rollup (SURVEY §2.4: report totals are a manual rollup,
     dere/evaluation.py:352-366)."""
-    t = build_stages(spark, sf_dir)["triples"]
+    t = cached_stages(spark, sf_dir)["triples"]
     return (
         t.rollup("pred", "subj")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -290,7 +290,7 @@ gold AS (SELECT * FROM spans WHERE token_idx % 7 != 0)
 
 
 def _hypo_gold(spark: SparkSession, sf_dir: str):
-    spans = build_stages(spark, sf_dir)["spans"]
+    spans = cached_stages(spark, sf_dir)["spans"]
     return spans, spans.where(F.col("token_idx") % 7 != 0)
 
 
@@ -1008,7 +1008,7 @@ def _register_bio_kernels() -> None:
         """BIO encode (W2) then decode (W3) must reproduce the original
         span set — the reference's sequence-labeling round trip
         (span_classifier.py:258-292, 415-449)."""
-        st = build_stages(spark, sf_dir)
+        st = cached_stages(spark, sf_dir)
         labeled = bio_encode(st["tokens"], st["spans"], "Object")
         return bio_decode(labeled, "Object")
 
@@ -1026,7 +1026,7 @@ def _register_bio_kernels() -> None:
         scorer over candidate pairs via mapInPandas. The oracle recomputes
         the same linear form in SQL — proving the UDF path agrees with
         relational semantics bit-for-bit."""
-        pairs = build_stages(spark, sf_dir)["pairs"].select(
+        pairs = cached_stages(spark, sf_dir)["pairs"].select(
             "doc_id", "anchor_idx", "filler_idx", "predicate",
             F.col("token_distance").cast("double").alias("token_distance"),
         )
@@ -1065,7 +1065,7 @@ def _register_round1_extras() -> None:
     def q_gold_arc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """J2: left join of candidate pairs against gold arcs with default
         label 'Nothing' (slot_classifier.py:348-382)."""
-        pairs = build_stages(spark, sf_dir)["pairs"]
+        pairs = cached_stages(spark, sf_dir)["pairs"]
         gold = pairs.where((F.col("anchor_idx") + F.col("filler_idx")) % 5 == 0).select(
             F.col("doc_id").alias("g_doc"),
             F.col("anchor_idx").alias("g_anchor"),
@@ -1105,7 +1105,7 @@ def _register_round1_extras() -> None:
     def q_between_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """W4: token sequence strictly between two spans in token order
         (slot_classifier.py:706-726) — ordered collect per frame."""
-        st = build_stages(spark, sf_dir)
+        st = cached_stages(spark, sf_dir)
         f = st["frames"].where(F.col("slot_name") == "Theme").select(
             "doc_id", "anchor_idx", "filler_idx"
         )
@@ -1392,7 +1392,7 @@ ent_verified AS (
     )
 
     def _entity_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-        t = build_stages(spark, sf_dir)["triples"]
+        t = cached_stages(spark, sf_dir)["triples"]
         entities = (
             t.select(F.col("subj").alias("entity"))
             .unionByName(t.select(F.col("obj").alias("entity")))
@@ -1487,7 +1487,7 @@ def _register_breadth() -> None:
     def q_regex_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """F10: regex class rewrites (the scorer's Theme[2-6]->Theme
         canonicalization, deRE_evaluation.py:84,364-368)."""
-        ranked = build_stages(spark, sf_dir)["pairs"]
+        ranked = cached_stages(spark, sf_dir)["pairs"]
         from dere_spark.operators.frames import best_fillers, score_pairs
 
         r = best_fillers(score_pairs(ranked))

@@ -88,6 +88,33 @@ def build_stages(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     }
 
 
+#: Per-application memo of cached pipeline stages. Keyed by
+#: (applicationId, sf_dir) so a new SparkSession never sees another
+#: session's DataFrames.
+_STAGE_CACHE: Dict[tuple, Dict[str, DataFrame]] = {}
+
+
+def cached_stages(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    """build_stages with the shared DAG prefix PERSISTED.
+
+    A dozen gate/bench queries share the documents -> spans -> triples
+    prefix; rebuilding it per query re-pays the full scan + self-join
+    every time (~2 s fixed plan cost each at sf0.1, BENCH r1). Production
+    pattern at web scale: materialize the narrow span/triple stages once
+    per batch (they are a small fraction of corpus bytes — spans carry no
+    document text beyond the matched token) and let every downstream
+    query start from the cache. Results are identical to build_stages;
+    plan-shape tests intentionally use the uncached builder.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STAGE_CACHE:
+        stages = build_stages(spark, sf_dir)
+        stages["spans"] = stages["spans"].persist()
+        stages["triples"] = stages["triples"].persist()
+        _STAGE_CACHE[key] = stages
+    return _STAGE_CACHE[key]
+
+
 def extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query: documents -> (subj, pred, obj) triples."""
     return build_stages(spark, sf_dir)["triples"]
