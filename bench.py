@@ -180,6 +180,9 @@ def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
         spark = (
             SparkSession.builder.master(f"local-cluster[{n_exec},8,6144]")
             .appName(f"scaling_{n_exec}x8")
+            # worker offers 6144 MB; executors default to 1g unless told —
+            # the banded join's per-partition sorts need real heap
+            .config("spark.executor.memory", "5g")
             .config("spark.sql.shuffle.partitions", str(max(n_exec * 16, 16)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -74,11 +74,13 @@ def candidate_pairs(
         ),
     ).alias("f")
     pairs = (
-        # shuffle-hash, not sort-merge: both sides are narrow span rows,
-        # buckets are tiny (≤ a few spans), and the downstream windows
-        # re-sort on their own keys anyway — SMJ's two sorts are pure waste
+        # NO shuffle_hash hint here: a forced SHJ builds a per-partition
+        # hash map of the whole filler partition, which OOMed the 6 GiB
+        # scaling executors at 100x corpus (measured) — sort-merge spills
+        # gracefully, and AQE converts to shuffled-hash at runtime when a
+        # partition is actually small. Let the optimizer choose.
         a.join(
-            f.hint("shuffle_hash"),
+            f,
             (F.col("a.doc_id") == F.col("f.doc_id"))
             & (F.col("a.bucket") == F.col("f.bucket")),
             "inner",
