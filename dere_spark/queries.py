@@ -1747,3 +1747,51 @@ def _register_ivf_build_and_batch() -> None:
 
 
 _register_ivf_build_and_batch()
+
+
+def _register_deppath() -> None:
+    from dere_spark.operators.deppath import shortest_dep_paths
+
+    @register(
+        "graph_shortest_path",
+        """
+        WITH RECURSIVE climb AS (
+          SELECT user_id, n AS node, CAST(n AS INT) AS from_idx,
+                 CAST('' AS VARCHAR) AS acc, 0 AS steps
+          FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+          UNION ALL
+          SELECT user_id, node // 2, from_idx,
+                 CASE WHEN acc = '' THEN 'c' || CAST(node % 2 AS VARCHAR)
+                      ELSE acc || '/' || 'c' || CAST(node % 2 AS VARCHAR) END,
+                 steps + 1
+          FROM climb WHERE node > 1
+        )
+        SELECT user_id AS group_id, from_idx, CAST(1 AS INT) AS to_idx,
+               CAST(steps AS INT) AS path_len, acc AS path_labels
+        FROM climb WHERE node = 1
+        """,
+    )
+    def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F6/O1: shortest dependency paths as a generic graph operator.
+        Each user's events form a heap-indexed binary tree (node i's
+        parent is i//2, edge label encodes the child side); the engine
+        runs real per-group BFS over the edge table, the oracle computes
+        the same paths by climbing ancestors in a recursive CTE."""
+        from pyspark.sql import Window as W
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        nodes = ev.withColumn("idx", F.row_number().over(w))
+        edges = nodes.where(F.col("idx") >= 2).select(
+            F.col("user_id").alias("group_id"),
+            F.col("idx").alias("src"),
+            F.floor(F.col("idx") / 2).cast("int").alias("dst"),
+            F.concat(F.lit("c"), (F.col("idx") % 2).cast("string")).alias("label"),
+        )
+        pairs = nodes.groupBy(F.col("user_id").alias("group_id")).agg(
+            F.max("idx").cast("int").alias("from_idx")
+        ).withColumn("to_idx", F.lit(1))
+        return shortest_dep_paths(edges, pairs)
+
+
+_register_deppath()

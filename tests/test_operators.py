@@ -181,3 +181,28 @@ def test_kmeans_ivf_recall(spark):
         total += len(exact)
     assert total == 80
     assert hits / total >= 0.9, f"recall@10 = {hits / total}"
+
+
+def test_shortest_dep_paths_fixture(spark):
+    """F6/O1: BFS over a hand-built dependency tree —
+        1(root) -nsubj- 2, 1 -dobj- 3, 3 -amod- 4; node 9 isolated."""
+    from dere_spark.operators.deppath import shortest_dep_paths
+
+    edges = spark.createDataFrame(
+        [("s1", 2, 1, "nsubj"), ("s1", 3, 1, "dobj"), ("s1", 4, 3, "amod")],
+        "group_id string, src int, dst int, label string",
+    )
+    pairs = spark.createDataFrame(
+        [("s1", 2, 4), ("s1", 4, 1), ("s1", 2, 2), ("s1", 2, 9)],
+        "group_id string, from_idx int, to_idx int",
+    )
+    rows = {
+        (r["from_idx"], r["to_idx"]): r
+        for r in shortest_dep_paths(edges, pairs).collect()
+    }
+    assert rows[(2, 4)]["path_len"] == 3
+    assert rows[(2, 4)]["path_labels"] == "nsubj/dobj/amod"
+    assert rows[(4, 1)]["path_len"] == 2
+    assert rows[(4, 1)]["path_labels"] == "amod/dobj"
+    assert rows[(2, 2)]["path_len"] == 0
+    assert rows[(2, 9)]["path_len"] == -1  # unreachable
