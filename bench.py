@@ -136,26 +136,16 @@ def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
     """
     import pyspark.sql.functions as F
 
-    from dere_spark.operators.frames import assemble_frames, best_fillers, score_pairs
-    from dere_spark.operators.pairs import candidate_pairs, whitelist_df
-    from dere_spark.operators.spans import detect_spans, gazetteer_df
-    from dere_spark.operators.tokenize import tokenize
-    from dere_spark.operators.triples import entity_dictionary, frames_to_triples
     from dere_spark.session import get_spark
     from dere_spark.sources.documents import load_documents
-    from dere_spark.webtext import (
-        ENTITY_ALIASES,
-        GAZETTEERS,
-        MAX_TOKEN_DISTANCE,
-        webtext_plan,
-    )
+    from dere_spark.webtext import build_stages
 
     import tempfile
 
     # materialize the expanded corpus ONCE as a well-partitioned table —
     # measuring from a single tiny parquet file would serialize the scan
     # and hide all scaling behind a one-task head
-    staging = os.path.join(tempfile.gettempdir(), f"dere_scaling_{factor}")
+    staging = os.path.join(tempfile.gettempdir(), f"dere_scaling_{factor}", "documents.parquet")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         spark = get_spark("scaling_prep", cpus=32)
         (
@@ -191,17 +181,11 @@ def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
-        plan = webtext_plan()
-        docs = spark.read.parquet(staging).repartition(
-            max(n_exec * 16, 16), "doc_id"
-        )
+        sf_dir = os.path.dirname(staging)
+
         def job() -> int:
-            spans = detect_spans(tokenize(docs), gazetteer_df(spark, GAZETTEERS))
-            pairs = candidate_pairs(spans, whitelist_df(spark, plan), MAX_TOKEN_DISTANCE)
-            frames = assemble_frames(best_fillers(score_pairs(pairs)), plan)
-            return frames_to_triples(
-                frames, entity_dictionary(spark, ENTITY_ALIASES)
-            ).count()
+            # the REAL pipeline, exactly as extract_triples builds it
+            return build_stages(spark, sf_dir)["triples"].count()
 
         job()  # warmup: codegen + JIT + page cache
         walls = []
@@ -211,7 +195,7 @@ def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
             n_triples = job()
             walls.append(round(time.perf_counter() - t0, 3))
         wall = min(walls)
-        n_docs = docs.count()
+        n_docs = spark.read.parquet(staging).count()
         results[f"local-cluster[{n_exec}x8]"] = {
             "wall_sec": wall,
             "wall_all_runs": walls,

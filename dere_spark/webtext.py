@@ -14,6 +14,17 @@ Every stage is pure DataFrame ops (broadcast joins, window functions) —
 zero Python UDFs — so the whole plan runs inside whole-stage codegen and
 scales linearly with executors; documents are the unit of parallelism end
 to end.
+
+Physical-strategy note (r2, measured): the shuffle-free Arrow tokenizer
+(`tokenize_arrow`) halves the plan's data exchanges (4 -> 2: documents
+are never repartitioned) and wins on single-JVM local[32] (~20% faster
+flagship), but LOSES in multi-executor mode (same-session A/B at
+local-cluster[1x8], 100x corpus: window 31-42 s vs arrow 36-59 s): the
+Python->JVM Arrow IPC of the full token stream costs more than the
+document shuffle it saves. Exchange COUNT is not the cost model —
+bytes x medium is. The windowed JVM tokenizer stays the default; the
+Arrow one remains available (equivalence-tested) for IO-bound corpora
+where token volume ~ document volume.
 """
 
 from __future__ import annotations

@@ -206,3 +206,15 @@ def test_shortest_dep_paths_fixture(spark):
     assert rows[(4, 1)]["path_labels"] == "amod/dobj"
     assert rows[(2, 2)]["path_len"] == 0
     assert rows[(2, 9)]["path_len"] == -1  # unreachable
+
+
+def test_tokenize_arrow_equals_window_tokenizer(spark, sf_dir):
+    """The Arrow tokenizer (pipeline default since r2) must produce the
+    exact token/offset rows of the windowed tokenizer."""
+    from dere_spark.operators.tokenize import tokenize, tokenize_arrow
+    from dere_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, sf_dir, partition_by_doc=False)
+    a = sorted(map(tuple, tokenize_arrow(docs).collect()))
+    b = sorted(map(tuple, tokenize(docs).collect()))
+    assert a == b

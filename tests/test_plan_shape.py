@@ -25,7 +25,8 @@ def test_pipeline_shuffle_budget(spark, sf_dir):
     runtime by AQE — and 2× hashpartitioning(doc_id, bucket) feeding the
     banded candidate join. Downstream windows include the bucket in their
     partition keys, so NO exchange follows the join. Dimension joins must
-    all be broadcasts."""
+    all be broadcasts. (A 2-exchange Arrow-tokenizer variant was measured
+    and rejected: see webtext.py's physical-strategy note.)"""
     plan = _executed_plan(build_stages(spark, sf_dir)["triples"])
     counts = Counter(re.findall(r"(\w*Exchange\w*)", plan))
     data_exchanges = counts.get("Exchange", 0)
