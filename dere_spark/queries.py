@@ -786,6 +786,39 @@ def _register_dedup() -> None:
         return near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
 
     @register(
+        "dedup_clusters_star",
+        SHINGLE_CTES.replace("WITH raw_tokens", "WITH RECURSIVE raw_tokens", 1)
+        + """,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.8),
+        nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.x, reach.r FROM reach
+          JOIN (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges) e
+            ON e.y = reach.node
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+        """,
+    )
+    def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same clusters via alternating large-star/small-star contraction
+        (Kiveris et al., SoCC'14) — the power-law-safe CC variant: O(log^2)
+        rounds on a monotonically shrinking edge list instead of
+        O(diameter) rounds over all edges. Must match the hash-min answer
+        (and this shared oracle) exactly."""
+        from dere_spark.operators.graph import connected_components_star
+
+        sh = _shingles(spark, sf_dir)
+        sigs = minhash_signatures(sh, num_hashes=16)
+        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        verified = jaccard_verify(pairs, sh)
+        edges = verified.where(F.col("jaccard") >= 0.8).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        return connected_components_star(edges)
+
+    @register(
         "dedup_simhash",
         SHINGLE_CTES
         + """,

@@ -218,3 +218,38 @@ def test_tokenize_arrow_equals_window_tokenizer(spark, sf_dir):
     a = sorted(map(tuple, tokenize_arrow(docs).collect()))
     b = sorted(map(tuple, tokenize(docs).collect()))
     assert a == b
+
+
+def test_star_cc_matches_hashmin(spark):
+    """large-star/small-star must produce exactly the labels of hash-min
+    propagation on chains, stars, cliques and singleton-ish graphs."""
+    from dere_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = []
+    # long chain c00..c19 (diameter stress)
+    for i in range(19):
+        edges.append((f"c{i:02d}", f"c{i+1:02d}"))
+    # star hub with 12 leaves, hub NOT the minimum
+    for i in range(12):
+        edges.append(("s_hub", f"s_leaf{i:02d}"))
+    # triangle + pendant
+    edges += [("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("t3", "t4")]
+    # two-node component
+    edges += [("z9", "z8")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+    # sanity: chain collapses to its minimum
+    comp = dict(got)
+    assert comp["c19"] == "c00"
+    assert comp["s_hub"] == min(["s_hub"] + [f"s_leaf{i:02d}" for i in range(12)])
