@@ -518,3 +518,72 @@ def load_legacy_pairs(
         .join(hypo, "doc_id", "inner")
         .select("doc_id", "text", "a1", "gold_a2", "answer_a2")
     )
+
+
+def render_legacy_report(scores: DataFrame, variant: str = "bionlp") -> str:
+    """The reference CLI's report, byte-compatible layout
+    (deRE_evaluation.py:213-244 report/report_headline; section structure
+    :938-1063): SPAN EVALUATION over the target classes (minus the
+    modification classes), then EVENT EVALUATION grouped SVT / Binding /
+    REG with running totals. Driver-side rendering of the tiny per-class
+    aggregate (the fold stays distributed)."""
+    rows = {
+        (r["kind"], r["type_name"]): (
+            int(r["n_gold"]), int(r["matched_gold"]),
+            int(r["n_answer"]), int(r["matched_answer"]),
+        )
+        for r in scores.collect()
+    }
+
+    def get(kind: str, cl: str):
+        return rows.get((kind, cl), (0, 0, 0, 0))
+
+    def fmt(cl, g, mg, a, ma):
+        p = (ma / a * 100) if a > 0 else 0.0
+        r = (mg / g * 100) if g > 0 else 0.0
+        f1 = (2 * p * r / (p + r)) if (p + r) > 0 else 0.0
+        gold_col = f"{g} ({mg})"
+        ans_col = f"{a} ({ma})"
+        return (
+            cl.ljust(20) + "\t" + gold_col.ljust(10) + "\t" + ans_col.ljust(10)
+            + "\t" + str(round(r, 2)) + "\t" + str(round(p, 2)) + "\t"
+            + str(round(f1, 2))
+        )
+
+    out = [
+        "Class".ljust(20) + "\t" + "gold (match)".ljust(10) + "\t"
+        + "answer (match)".ljust(10) + "\t" + "recall \t prec. \t fscore"
+    ]
+
+    def section(title, kind, classes, total_label, carry=(0, 0, 0, 0)):
+        tg = tmg = ta = tma = 0
+        for cl in classes:
+            g, mg, a, ma = get(kind, cl)
+            out.append(fmt(cl, g, mg, a, ma))
+            tg += g; tmg += mg; ta += a; tma += ma
+        cg, cmg, ca, cma = carry
+        out.append(fmt(total_label, tg + cg, tmg + cmg, ta + ca, tma + cma))
+        out.append("----------------------------------------------")
+        return (tg + cg, tmg + cmg, ta + ca, tma + cma)
+
+    if variant == "usage":
+        out.append("-------------- SPAN EVALUATION ------------------")
+        section("span", "span", USAGE_TARGET_CLASSES, "=[TOTAL]=")
+        out.append("-------------- EVENT EVALUATION ------------------")
+        section("event", "event", USAGE_TARGET_CLASSES, "=[ALL-TOTAL]")
+        return "\n".join(out)
+
+    out.append("-------------- SPAN EVALUATION ------------------")
+    span_classes = [
+        c for c in BIONLP_TARGET_CLASSES if c not in BIONLP_MOD_CLASSES
+    ]
+    section("span", "span", span_classes, "=[TOTAL]=")
+    out.append("-------------- EVENT EVALUATION ------------------")
+    svt = section("svt", "event", BIONLP_EVENT_CLASSES, "=[SVT-TOTAL]=")
+    evt = section("evt", "event", ["Binding"], "=[EVT-TOTAL]=", carry=svt)
+    reg = section("reg", "event", BIONLP_REG_CLASSES, "=[REG-TOTAL]=")
+    g = evt[0] + reg[0]; mg = evt[1] + reg[1]
+    a = evt[2] + reg[2]; ma = evt[3] + reg[3]
+    out.append(fmt("=[ALL-TOTAL]", g, mg, a, ma))
+    out.append("----------------------------------------------")
+    return "\n".join(out)

@@ -266,3 +266,29 @@ def test_adjusted_match_counts_operator(spark):
     assert rows["A"]["matched_gold"] == 1
     assert rows["B"]["adj_matched_answer"] == 1
     assert rows["B"]["n_gold"] == 2
+
+
+def test_render_legacy_report_format(spark):
+    from dere_spark.evaluation_legacy import render_legacy_report
+
+    pairs = load_legacy_pairs(
+        spark,
+        "/root/reference/tutorial/data/train",
+        "/root/reference/tutorial/data/train",
+    )
+    txt = render_legacy_report(legacy_event_scores(pairs))
+    lines = txt.splitlines()
+    assert lines[0].startswith("Class")
+    assert "-------------- SPAN EVALUATION ------------------" in txt
+    assert "-------------- EVENT EVALUATION ------------------" in txt
+    for marker in ("=[TOTAL]=", "=[SVT-TOTAL]=", "=[EVT-TOTAL]=",
+                   "=[REG-TOTAL]=", "=[ALL-TOTAL]"):
+        assert marker in txt, marker
+    ge_lines = [l for l in lines if l.startswith("Gene_expression")]
+    assert ge_lines[0].split("\t")[1].strip() == "19 (19)"  # span section
+    cells = ge_lines[1].split("\t")  # event section
+    assert cells[1].strip() == "20 (20)"
+    assert cells[3] == "100.0" and cells[4] == "100.0" and cells[5] == "100.0"
+    # ALL-TOTAL = SVT(34/30) + Binding(1/1) + REG(40/34) events
+    allt = next(l for l in lines if l.startswith("=[ALL-TOTAL]"))
+    assert allt.split("\t")[1].strip() == "75 (65)"
