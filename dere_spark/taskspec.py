@@ -142,7 +142,25 @@ def load_task_spec(path: str) -> TaskSpecification:
     ``mincardinality``/``maxcardinality`` set each independently; an absent
     attribute means unbounded (``None``).
     """
-    root = ET.parse(path).getroot()
+    # os.path.exists is False for members of a --py-files zip; fall back
+    # to reading through the import system so specs ship inside the
+    # package artifact (spark-submit --py-files dere_spark.zip)
+    import os
+
+    if os.path.exists(path):
+        root = ET.parse(path).getroot()
+    else:
+        import importlib.resources as _res
+
+        marker = os.sep + "dere_spark" + os.sep
+        if marker in path:
+            rel = path.split(marker, 1)[1]
+            data = (
+                _res.files("dere_spark").joinpath(rel.replace(os.sep, "/")).read_bytes()
+            )
+            root = ET.fromstring(data.decode("utf-8"))
+        else:
+            root = ET.parse(path).getroot()  # surface the original error
 
     span_types: Dict[str, SpanType] = {}
     frame_types: Dict[str, FrameType] = {}
