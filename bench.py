@@ -177,6 +177,7 @@ def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )

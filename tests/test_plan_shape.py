@@ -19,23 +19,25 @@ def _executed_plan(df) -> str:
 
 
 def test_pipeline_shuffle_budget(spark, sf_dir):
-    """The full triples plan pays at most 4 data-exchange nodes, with a
-    known accounting: 2× hashpartitioning(doc_id) — the tokenizer-window
-    subtree printed once per self-join side, the SAME exchange reused at
-    runtime by AQE — and 2× hashpartitioning(doc_id, bucket) feeding the
-    banded candidate join. Downstream windows include the bucket in their
-    partition keys, so NO exchange follows the join. Dimension joins must
-    all be broadcasts. (A 2-exchange Arrow-tokenizer variant was measured
-    and rejected: see webtext.py's physical-strategy note.)"""
+    """The corpus is shuffled EXACTLY ONCE: the plan's only data-exchange
+    key is hashpartitioning(doc_id) (the tokenizer-window subtree, printed
+    once per self-join side — the SAME exchange reused at runtime by AQE).
+    The banded candidate join keys on (doc_id, bucket) but REUSES the
+    doc_id partitioning as a valid co-partitioning
+    (spark.sql.requireAllClusterKeysForCoPartition=false, session.py) —
+    equal (doc_id, bucket) pairs necessarily share a doc_id partition, so
+    forcing a re-shuffle on all join keys would be pure waste. Downstream
+    windows include the bucket in their partition keys and also reuse it.
+    Dimension joins must all be broadcasts. (A 2-exchange Arrow-tokenizer
+    variant was measured and rejected: see webtext.py's note.)"""
     plan = _executed_plan(build_stages(spark, sf_dir)["triples"])
     counts = Counter(re.findall(r"(\w*Exchange\w*)", plan))
     data_exchanges = counts.get("Exchange", 0)
-    assert data_exchanges <= 4, f"shuffle crept in: {counts}\n{plan[:2000]}"
-    # every data exchange is one of the two known keys
+    assert data_exchanges <= 2, f"shuffle crept in: {counts}\n{plan[:2000]}"
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     for k in keys:
         cols = [c.split("#")[0].strip() for c in k.split(",")[:-1]]
-        assert cols in (["doc_id"], ["doc_id", "bucket"]), f"unexpected exchange key: {k}"
+        assert cols == ["doc_id"], f"unexpected exchange key: {k}"
     assert counts.get("BroadcastExchange", 0) >= 3  # gaz, whitelist, dictionaries
 
 
