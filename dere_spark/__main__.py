@@ -6,6 +6,7 @@
     python -m dere_spark extract  --input SFDIR --out DIR       (webtext KG)
     python -m dere_spark train    --spec S --corpus DIR --model-dir M
     python -m dere_spark bench                                    (headline)
+    python -m dere_spark score-legacy --hypo DIR --gold DIR [--soft-span]
 
 `predict` runs the nested BioNLP-style extractor (gazetteer + learned
 preferences from --model-dir or trained on the fly from --corpus-train)
@@ -101,6 +102,26 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_score_legacy(args) -> int:
+    from dere_spark.evaluation_legacy import (
+        legacy_event_scores,
+        load_legacy_pairs,
+        render_legacy_report,
+    )
+
+    spark = _spark(args.cpus)
+    pairs = load_legacy_pairs(spark, args.gold, args.hypo)
+    scores = legacy_event_scores(
+        pairs,
+        soft_span=args.soft_span,
+        soft_overlap_span=args.soft_overlap_span,
+        variant=args.variant,
+    )
+    print(render_legacy_report(scores, variant=args.variant))
+    spark.stop()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -137,6 +158,17 @@ def main(argv=None) -> int:
     pt.add_argument("--corpus", required=True)
     pt.add_argument("--model-dir", required=True)
     pt.set_defaults(fn=cmd_train)
+
+    pl = sub.add_parser(
+        "score-legacy",
+        help="legacy shared-task scorer (deRE_evaluation CLI analog)",
+    )
+    pl.add_argument("--hypo", required=True)
+    pl.add_argument("--gold", required=True)
+    pl.add_argument("--soft-span", action="store_true", default=False)
+    pl.add_argument("--soft-overlap-span", action="store_true", default=False)
+    pl.add_argument("--variant", choices=["bionlp", "usage"], default="bionlp")
+    pl.set_defaults(fn=cmd_score_legacy)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)

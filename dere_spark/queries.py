@@ -1828,3 +1828,26 @@ def _register_deppath() -> None:
 
 
 _register_deppath()
+
+
+def _register_skew() -> None:
+    from dere_spark.operators.skew import salted_count
+
+    @register(
+        "skew_salted_counts",
+        """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        """,
+    )
+    def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew handling as a gate: the two-phase salted aggregation
+        (partial on (key, salt), final on key — the pattern for a hot key
+        larger than one reducer) must equal a plain groupBy count. The
+        salt is a deterministic hash, so results are retry- and
+        parallelism-stable."""
+        ev = load_table(spark, sf_dir, "events")
+        return salted_count(ev, "event_type", salt_from=["event_id"], buckets=16)
+
+
+_register_skew()

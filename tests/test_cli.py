@@ -66,3 +66,20 @@ def test_train_cli(tmp_path):
 
     manifest = json.load(open(model_dir / "manifest.json"))
     assert "Gene_expression" in manifest["metadata"]["theme_model"]
+
+
+def test_score_legacy_cli():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "dere_spark", "--cpus", "4", "score-legacy",
+            "--hypo", "/root/reference/tutorial/data/train",
+            "--gold", "/root/reference/tutorial/data/train",
+        ],
+        capture_output=True, text=True, timeout=400, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "-------------- EVENT EVALUATION ------------------" in proc.stdout
+    assert "=[ALL-TOTAL]" in proc.stdout
