@@ -75,12 +75,34 @@ def webtext_plan() -> PlanSpec:
     return compile_plan(load_webtext_spec())
 
 
-def build_stages(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+def build_stages(
+    spark: SparkSession, sf_dir: str, tokenizer: str = "whitespace"
+) -> Dict[str, DataFrame]:
     """Construct every stage of the pipeline lazily; nothing executes until
-    an action runs. Returned dict keys are stage names -> DataFrames."""
+    an action runs. Returned dict keys are stage names -> DataFrames.
+
+    ``tokenizer``: "whitespace" (default — JVM window tokenizer, right
+    for the space-separated synthetic corpus and the fastest
+    multi-executor path), "treebank" (nltk-3.3-parity Arrow kernel — the
+    correct front door for real punctuated web text, same offset
+    contract), or "arrow" (whitespace semantics, shuffle-free kernel).
+    """
     plan = webtext_plan()
-    documents = load_documents(spark, sf_dir)
-    tokens = tokenize(documents)
+    if tokenizer == "treebank":
+        from dere_spark.operators.treebank import tokenize_treebank
+
+        documents = load_documents(spark, sf_dir, partition_by_doc=False)
+        tokens = tokenize_treebank(documents)
+    elif tokenizer == "arrow":
+        from dere_spark.operators.tokenize import tokenize_arrow
+
+        documents = load_documents(spark, sf_dir, partition_by_doc=False)
+        tokens = tokenize_arrow(documents)
+    elif tokenizer == "whitespace":
+        documents = load_documents(spark, sf_dir)
+        tokens = tokenize(documents)
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer}")
     gaz = gazetteer_df(spark, GAZETTEERS)
     spans = detect_spans(tokens, gaz)
     wl = whitelist_df(spark, plan)

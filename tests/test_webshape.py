@@ -69,3 +69,25 @@ def test_web_shape_text_fidelity(spark, tmp_path):
     sf_dir = _write_web_table(spark, tmp_path)
     docs = load_documents(spark, sf_dir)
     assert fidelity_violations(docs, tokenize(docs)).count() == 0
+
+
+def test_treebank_tokenizer_pipeline_on_punctuated_text(spark, tmp_path):
+    """On punctuated web text the whitespace tokenizer glues terms to
+    punctuation ("join," never matches the gazetteer); the treebank
+    front door recovers the extraction."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (f"u{i}", f"spark join, table {i}. customer sort fast!", "en", "web")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, lang string, source string")
+    out = str(tmp_path / "punct")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    ws = build_stages(spark, out, tokenizer="whitespace")["triples"]
+    tb = build_stages(spark, out, tokenizer="treebank")["triples"]
+    n_ws, n_tb = ws.count(), tb.count()
+    assert n_tb > n_ws, (n_ws, n_tb)
+    # and the treebank path finds the comma-glued operator
+    assert tb.where(F.col("pred").startswith("Operation")).count() > 0
