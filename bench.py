@@ -116,7 +116,7 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _scaling_run(factor: int = 100, repeats: int = 4) -> dict:
+def _scaling_run(factor: int = 300, repeats: int = 3) -> dict:
     """Identical job + identical input at N=1 vs N=4 executors — the
     closest sandbox realization of BASELINE.json's "N -> 4N executors":
     ``local-cluster[1,8,6144]`` vs ``local-cluster[4,8,6144]`` gives real
