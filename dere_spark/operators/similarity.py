@@ -213,3 +213,37 @@ def ivf_search_batch(
         cand.withColumn("rank", F.row_number().over(topk_w))
         .where(F.col("rank") <= k)
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs, IVF-blocked.
+
+    The all-pairs O(n²) cosine comparison is pruned by the centroid
+    buckets: only vectors sharing a bucket are compared (same blocking
+    idea as MinHash-LSH banding, with the recall caveat that near-dups
+    straddling a bucket boundary are missed — raise n_centroids/nprobe or
+    verify borderline pairs downstream). Output: (id_a, id_b, cos_sim)
+    with id_a < id_b, cosine rounded to 6dp for cross-engine stability.
+    """
+    assigned = assign_buckets(embeddings, centroids, vec_col, id_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

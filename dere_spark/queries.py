@@ -1851,3 +1851,52 @@ def _register_skew() -> None:
 
 
 _register_skew()
+
+
+def _register_embedding_dedup() -> None:
+    from dere_spark.operators.similarity import embedding_near_dup_pairs
+
+    def _cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+        )
+
+    @register(
+        "dedup_embedding_pairs",
+        f"""
+        WITH cents AS (
+          SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     {_cos('e.embedding', 'c.centroid')} DESC, c.centroid_id ASC) AS rk
+            FROM embeddings e CROSS JOIN cents c) WHERE rk = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos('a.embedding', 'b.embedding')} AS cos_sim
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
+        """,
+    )
+    def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-cosine near-dup pairs, IVF-blocked: only vectors
+        sharing a centroid bucket are compared (the LSH-banding idea for
+        dense vectors) — never the O(n²) all-pairs product."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        # synthetic random embeddings top out at cosine ~0.5; 0.3 keeps a
+        # meaningful near-dup tail so the gate checks real pair values
+        return embedding_near_dup_pairs(emb, cents, threshold=0.3)
+
+
+_register_embedding_dedup()
