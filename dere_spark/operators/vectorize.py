@@ -1,0 +1,92 @@
+"""F11 — sklearn-CountVectorizer parity, fully relational.
+
+The reference's slot classifier fits four CountVectorizers (span texts,
+labels, word bigrams over dep paths, sequence words —
+dere/models/_baseline/slot_classifier.py:412-448). sklearn is not
+installable here, so this module re-implements the PUBLISHED
+CountVectorizer semantics as DataFrame ops:
+
+  * tokenization: lowercase, then maximal runs of >=2 word characters
+    (sklearn's default token_pattern ``(?u)\\b\\w\\w+\\b`` — single-char
+    tokens are dropped);
+  * n-grams: contiguous token windows joined by a single space;
+  * vocabulary: ALPHABETICALLY sorted distinct terms -> dense indices
+    (sklearn sorts its vocabulary_), built with a distinct + window —
+    one aggregation, no driver-side vocabulary dict;
+  * transform: explode -> broadcast-join vocabulary -> per-doc counts,
+    emitted as sorted (indices, counts) sparse arrays — deterministic
+    across parallelism levels.
+
+At web scale the vocabulary build is one shuffle over distinct terms and
+the transform is a broadcast join (vocabularies fit executors by
+construction — cap with min_df/top-k upstream if they would not).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# SQL string literal: each \\ reaches the regex engine as one backslash
+_TOKEN_PATTERN = r"\\w\\w+"  # maximal runs of >=2 word chars == sklearn default
+
+
+def cv_tokens(col_name: str, ngram: int = 1) -> F.Column:
+    """sklearn-style token (or n-gram) array for one text column (by name)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({col_name}), '{_TOKEN_PATTERN}', 0)"
+    )
+    if ngram == 1:
+        return toks
+    # contiguous n-grams joined by one space (sklearn's ngram join)
+    return F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + ngram <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, ngram), " "),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def fit_vocabulary(
+    docs: DataFrame, text_col: str = "text", ngram: int = 1
+) -> DataFrame:
+    """(term, index) with sklearn's alphabetical index assignment."""
+    terms = (
+        docs.select(F.explode(cv_tokens(text_col, ngram)).alias("term"))
+        .distinct()
+    )
+    w = Window.orderBy("term")
+    return terms.select("term", (F.row_number().over(w) - 1).alias("index"))
+
+
+def transform_counts(
+    docs: DataFrame,
+    vocabulary: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-document sparse counts over a fitted vocabulary:
+    (id, indices array<int>, counts array<int>), indices ascending.
+    Out-of-vocabulary terms are dropped (sklearn transform semantics)."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(cv_tokens(text_col, ngram)).alias("term")
+    )
+    counted = (
+        exploded.join(F.broadcast(vocabulary), "term")
+        .groupBy(id_col, "index")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("index", "n"))), lambda s: s["index"]
+        ).alias("indices"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("index", "n"))),
+            lambda s: s["n"].cast("int"),
+        ).alias("counts"),
+    )

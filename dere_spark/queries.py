@@ -1900,3 +1900,48 @@ def _register_embedding_dedup() -> None:
 
 
 _register_embedding_dedup()
+
+
+def _register_vectorize() -> None:
+    from dere_spark.operators.vectorize import fit_vocabulary, transform_counts
+
+    @register(
+        "text_bow_counts",
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w\\w+')) AS term
+          FROM documents
+        ),
+        vocab AS (
+          SELECT term,
+                 CAST(row_number() OVER (ORDER BY term) - 1 AS INT) AS index
+          FROM (SELECT DISTINCT term FROM toks)
+        )
+        SELECT CAST(t.doc_id AS VARCHAR) AS doc_id, v.index, v.term,
+               CAST(n AS BIGINT) AS n
+        FROM (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY doc_id, term) t
+        JOIN vocab v ON v.term = t.term
+        """,
+    )
+    def q_text_bow_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """F11: sklearn-CountVectorizer-parity bag-of-words — alphabetical
+        vocabulary indices, >=2-word-char tokens, per-doc sparse
+        (indices, counts) arrays. Distributed fit (distinct+window) +
+        broadcast-vocabulary transform."""
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        vocab = fit_vocabulary(docs)
+        sparse = transform_counts(docs, vocab)
+        flat = sparse.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.explode(F.arrays_zip("indices", "counts")).alias("z"),
+        ).select(
+            "doc_id",
+            F.col("z.indices").alias("index"),
+            F.col("z.counts").cast("long").alias("n"),
+        )
+        return flat.join(
+            F.broadcast(vocab.withColumnRenamed("index", "index")), "index"
+        ).select("doc_id", "index", "term", "n")
+
+
+_register_vectorize()

@@ -253,3 +253,38 @@ def test_star_cc_matches_hashmin(spark):
     comp = dict(got)
     assert comp["c19"] == "c00"
     assert comp["s_hub"] == min(["s_hub"] + [f"s_leaf{i:02d}" for i in range(12)])
+
+
+def test_count_vectorizer_sklearn_parity(spark):
+    """F11: recorded sklearn CountVectorizer semantics — default token
+    pattern drops single-char tokens, vocabulary is alphabetical, bigrams
+    join with one space."""
+    from dere_spark.operators.vectorize import fit_vocabulary, transform_counts
+
+    docs = spark.createDataFrame(
+        [("d1", "The cat sat on a mat"), ("d2", "the mat, the CAT!")],
+        "doc_id string, text string",
+    )
+    vocab = {r["term"]: r["index"] for r in fit_vocabulary(docs).collect()}
+    # sklearn: CountVectorizer().fit([...]).vocabulary_
+    assert vocab == {"cat": 0, "mat": 1, "on": 2, "sat": 3, "the": 4}
+    rows = {
+        r["doc_id"]: (r["indices"], r["counts"])
+        for r in transform_counts(docs, fit_vocabulary(docs)).collect()
+    }
+    assert rows["d1"] == ([0, 1, 2, 3, 4], [1, 1, 1, 1, 1])
+    assert rows["d2"] == ([0, 1, 4], [1, 1, 2])
+
+    # bigrams (ngram_range=(2,2)): sklearn tokenizes first, then windows
+    vocab2 = sorted(r["term"] for r in fit_vocabulary(docs, ngram=2).collect())
+    assert vocab2 == [
+        "cat sat", "mat the", "on mat", "sat on", "the cat", "the mat",
+    ]
+    rows2 = {
+        r["doc_id"]: (r["indices"], r["counts"])
+        for r in transform_counts(docs, fit_vocabulary(docs, ngram=2), ngram=2).collect()
+    }
+    # d2 tokens: the mat the cat -> bigrams: "the mat","mat the","the cat"
+    v2 = {r["term"]: r["index"] for r in fit_vocabulary(docs, ngram=2).collect()}
+    want_idx = sorted([v2["the mat"], v2["mat the"], v2["the cat"]])
+    assert rows2["d2"][0] == want_idx
