@@ -24,7 +24,6 @@ def test_query_matches_oracle(spark, conn, sf_dir, name):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops are allowed to omit oracles, but must be
-    # deliberate — keep this list in sync when adding such ops
-    allowed_rows_only: set[str] = {"text_porter_stems"}
-    assert missing <= allowed_rows_only, f"queries missing oracles: {missing}"
+    # every registered query is oracle-checked since r2 (porter got a
+    # recorded-stems fixture oracle); keep it that way
+    assert not missing, f"queries missing oracles: {missing}"
