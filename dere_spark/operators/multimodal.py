@@ -113,3 +113,99 @@ def extract_features(media: DataFrame, codec: StubCodec | None = None) -> DataFr
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def _stub_bytes(seed: bytes, n: int) -> bytes:
+    """Deterministic pseudo-payload of length n from an md5 stream."""
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: StubCodec | None = None
+) -> DataFrame:
+    """Image resize over Arrow batches — the training-pipeline thumbnail
+    stage. Plumbing (payload transform per row, metadata rewrite, batch
+    memory shape) is real; the pixel work is the stubbed codec step (a
+    deterministic pseudo-payload sized ~ width*height/64 stands in for
+    the re-encoded image; swap in PIL on a real cluster). Only image
+    rows are transformed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = max(width * height // 64, 16)
+        for batch in batches:
+            imgs = batch[batch["modality"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"],
+                    "modality": imgs["modality"],
+                    "payload": imgs["payload"].map(
+                        lambda p: _stub_bytes(b"" if p is None else p, n_out)
+                    ),
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — ONE input row explodes to one row per
+    sampled timestamp (0, every_ms, 2*every_ms, ... < duration_ms). The
+    fan-out plumbing is the real content: a video row's Arrow batch grows
+    by its frame count, so callers must bound
+    arrow.maxRecordsPerBatch for MB-scale payloads (module docstring).
+    Frame payloads are deterministic stubs keyed by (payload, ts) — a
+    real decoder (pyav) drops into the same loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            vids = batch[batch["modality"] == "video"]
+            rows = []
+            for _, r in vids.iterrows():
+                duration = int(r["duration_ms"] or 0)
+                seed = r["payload"] if r["payload"] is not None else b""
+                for i, ts in enumerate(range(0, duration, every_ms)):
+                    rows.append(
+                        (
+                            r["media_id"], i, ts,
+                            _stub_bytes(bytes(seed) + ts.to_bytes(4, "big"), 32),
+                            r["width"], r["height"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "frame_payload",
+                    "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -288,3 +288,39 @@ def test_count_vectorizer_sklearn_parity(spark):
     v2 = {r["term"]: r["index"] for r in fit_vocabulary(docs, ngram=2).collect()}
     want_idx = sorted([v2["the mat"], v2["mat the"], v2["the cat"]])
     assert rows2["d2"][0] == want_idx
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Brief-listed multimodal ops: resize (payload transform + metadata
+    rewrite) and frame-sample (row fan-out by duration) with the
+    deterministic stub codec."""
+    from dere_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        ("m1", "d1", "image", "image/png", b"\x89PNG-fake-1", 640, 480, None),
+        ("m2", "d1", "video", "video/mp4", b"vid-fake-2", 1920, 1080, 3500),
+        ("m3", "d2", "audio", "audio/wav", b"aud-fake-3", None, None, 2000),
+        ("m4", "d2", "image", "image/png", None, 10, 10, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    resized = resize_images(media, 64, 64).collect()
+    assert {r["media_id"] for r in resized} == {"m1", "m4"}  # images only
+    for r in resized:
+        assert (r["width"], r["height"]) == (64, 64)
+        assert len(r["payload"]) == 64 * 64 // 64
+    # deterministic: same input -> identical payload bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 64, 64).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    # only the video row fans out: 3500ms at 1000ms -> ts 0,1000,2000,3000
+    assert {r["media_id"] for r in frames} == {"m2"}
+    assert sorted(r["ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
+    assert all(len(r["frame_payload"]) == 32 for r in frames)
+    assert all((r["width"], r["height"]) == (1920, 1080) for r in frames)
