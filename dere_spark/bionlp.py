@@ -1188,26 +1188,52 @@ def _gold_arc_label_set(corpus: Dict[str, DataFrame]) -> DataFrame:
     return span_arcs.unionByName(frame_arcs).withColumn("label", F.lit(1.0)).distinct()
 
 
-def run_bionlp_eval_learned_nested(
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class LearnedNestedModel:
+    """The persisted artifact of the two-stage learned nested extractor
+    (M1-M4 lifecycle: train -> save_model -> load_model -> predict, the
+    reference's Model.save/load contract, dere/models/__init__.py).
+
+    Both logistic stages plus the induced gazetteer and trigger
+    statistics as plain row tuples — tiny, picklable, broadcast at
+    predict time through the plans/models.py manifest machinery."""
+
+    tmodel: object  # stage-A LogisticModel
+    model: object   # stage-B LogisticModel
+    gaz_rows: tuple          # (term, span_type)
+    stats_rows: tuple        # (term, trig_prec, trig_logn)
+    trigger_threshold: float
+    threshold: float
+    max_k: int
+    max_dist: int
+    prune_rounds: int
+
+    def gaz_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            list(self.gaz_rows), "term string, span_type string"
+        )
+
+    def stats_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            list(self.stats_rows), "term string, trig_prec double, trig_logn double"
+        )
+
+
+def train_learned_nested(
     spark: SparkSession,
     train_dir: str,
-    eval_dir: str,
     trigger_threshold: float = 0.7,
     threshold: float = 0.5,
     max_k: int = 3,
     max_dist: int = 300,
     prune_rounds: int = 3,
     iterations: int = 600,
-) -> EvalResult:
-    """The r2 quality path (two-stage learned nested extraction).
-
-    tutorial/train self-eval (the setting of COVERAGE.md's recorded
-    numbers): frame F1 0.4172, span F1 0.8062 at the defaults — vs 0.25 /
-    0.678 for the heuristic nested path and the 0.4444 span-only ceiling.
-    Held-out tutorial/test is gazetteer-recall-bound (only 13 of 44 gold
-    triggers even appear in the train vocabulary): span F1 0.377, frame
-    F1 0.02 — recorded honestly in COVERAGE.md.
-    """
+) -> LearnedNestedModel:
+    """Train both stages and package the artifact (see
+    run_bionlp_eval_learned_nested for the extraction semantics)."""
     from dere_spark.operators.logreg import fit_logistic, fit_logistic_distributed
 
     spec = load_task_spec(BIONLP_SPEC)
@@ -1252,9 +1278,37 @@ def run_bionlp_eval_learned_nested(
         .withColumn("label", F.coalesce("label", F.lit(0.0)))
     )
     model = fit(tpdf, NESTED_FEATURE_COLS)
+    return LearnedNestedModel(
+        tmodel=tmodel,
+        model=model,
+        gaz_rows=tuple(sorted((r["term"], r["span_type"]) for r in gaz.collect())),
+        stats_rows=tuple(
+            sorted(
+                (r["term"], float(r["trig_prec"]), float(r["trig_logn"]))
+                for r in stats.collect()
+            )
+        ),
+        trigger_threshold=trigger_threshold,
+        threshold=threshold,
+        max_k=max_k,
+        max_dist=max_dist,
+        prune_rounds=prune_rounds,
+    )
 
-    # Predict on eval_dir
-    gold = train if eval_dir == train_dir else load_brat(spark, eval_dir, spec)
+
+def predict_learned_nested(
+    spark: SparkSession, lm: LearnedNestedModel, eval_dir: str
+) -> Dict[str, DataFrame]:
+    """Apply a (possibly loaded) artifact to a corpus; returns the hypo
+    corpus dict ready for evaluate()/dump_brat()."""
+    spec = load_task_spec(BIONLP_SPEC)
+    gold = load_brat(spark, eval_dir, spec)
+    gaz = lm.gaz_df(spark)
+    stats = lm.stats_df(spark)
+    tmodel, model = lm.tmodel, lm.model
+    trigger_threshold, threshold = lm.trigger_threshold, lm.threshold
+    max_k, max_dist, prune_rounds = lm.max_k, lm.max_dist, lm.prune_rounds
+
     det = detect_triggers(gold, gaz)
     kept = _trigger_features(gold, det, stats).withColumn(
         "_tp", tmodel.score_column()
@@ -1327,10 +1381,42 @@ def run_bionlp_eval_learned_nested(
         F.lit("predicted").alias("source"),
         F.lit(None).cast("int").alias("file_index"), F.lit(0).alias("line_no"),
     )
-    hypo = {
+    return {
         "instances": gold["instances"],
         "spans": gold["spans"].where(F.col("source") == "given").unionByName(trigger_spans),
         "frames": frames,
         "slot_fills": fills,
     }
+
+
+def run_bionlp_eval_learned_nested(
+    spark: SparkSession,
+    train_dir: str,
+    eval_dir: str,
+    trigger_threshold: float = 0.7,
+    threshold: float = 0.5,
+    max_k: int = 3,
+    max_dist: int = 300,
+    prune_rounds: int = 3,
+    iterations: int = 600,
+) -> EvalResult:
+    """The r2 quality path (two-stage learned nested extraction) —
+    train + predict + evaluate in one call.
+
+    tutorial/train self-eval (the setting of COVERAGE.md's recorded
+    numbers): frame F1 0.4172, span F1 0.8062 at the defaults — vs 0.25 /
+    0.678 for the heuristic nested path and the 0.4444 span-only ceiling.
+    Held-out tutorial/test is gazetteer-recall-bound (only 13 of 44 gold
+    triggers even appear in the train vocabulary): span F1 0.377, frame
+    F1 0.02 — recorded honestly in COVERAGE.md.
+    """
+    lm = train_learned_nested(
+        spark, train_dir,
+        trigger_threshold=trigger_threshold, threshold=threshold,
+        max_k=max_k, max_dist=max_dist, prune_rounds=prune_rounds,
+        iterations=iterations,
+    )
+    hypo = predict_learned_nested(spark, lm, eval_dir)
+    spec = load_task_spec(BIONLP_SPEC)
+    gold = load_brat(spark, eval_dir, spec)
     return evaluate(hypo, gold)

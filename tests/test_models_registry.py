@@ -50,3 +50,28 @@ def test_seeded_shuffle_deterministic(spark, sf_dir):
     assert o1 == o2
     assert o1 != o3  # different seed -> different order
     assert sorted(o1) == sorted(o3)
+
+
+def test_learned_nested_save_load_predict(spark, tmp_path):
+    """Full model lifecycle for the r2 extractor: train -> save_model ->
+    load_model -> predict, with identical evaluation to the direct path."""
+    from dere_spark.bionlp import predict_learned_nested, train_learned_nested
+    from dere_spark.plans.models import load_model, save_model
+
+    train_dir = "/root/reference/tutorial/data/train"
+    lm = train_learned_nested(spark, train_dir, iterations=120)
+    save_model(lm, str(tmp_path / "lnm"))
+    loaded, manifest = load_model(
+        str(tmp_path / "lnm"),
+        expected_class="dere_spark.bionlp.LearnedNestedModel",
+    )
+    # frozen dataclass: bit-identical round trip — weights, gazetteer and
+    # stats rows all equal, so predictions are identical by construction
+    assert loaded == lm
+    assert manifest["model_class"] == "dere_spark.bionlp.LearnedNestedModel"
+
+    # apply the LOADED artifact to the (smaller) held-out split: the
+    # full predict plan runs from the deserialized weights/dictionaries
+    hypo = predict_learned_nested(spark, loaded, "/root/reference/tutorial/data/test")
+    assert hypo["frames"].count() > 0
+    assert hypo["spans"].where("source = 'predicted'").count() > 0
