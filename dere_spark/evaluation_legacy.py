@@ -145,18 +145,41 @@ def _dedup_answer_events(frame_ann: Dict[str, list], equiv: Dict[str, str]) -> N
     """Answer-side exact-duplicate removal (deRE_evaluation.py:100-175).
 
     Processing order replicates the reference's observable behavior (see
-    module docstring): events whose args reference no other event come
-    first in file order; all events with E-args follow in file order (the
-    reference's dangling check can never succeed for them). The first
-    event with a given (type, trigger, args) expression wins; later
-    duplicates are deleted and recorded in equiv."""
+    module docstring). The reference's topological-sort pass iterates a
+    worklist with ``for r in remain: ... remain.remove(r)`` — CPython's
+    list iterator keeps a bare index, so each removal shifts the tail left
+    and the next fetch SKIPS one element. With five no-E-arg events the
+    visit order is therefore E1, E3, E5 (pass 1) then E2, E4 (pass 2), not
+    file order — and since dedup keeps the FIRST-visited event of each
+    expression, a duplicate at an even file position survives over its
+    odd-position twin. Events WITH E-args are never removed in this pass
+    (the dangling check can never succeed for them — the char-indexing
+    bug), so they stall the worklist and are flushed via the "circular
+    reference" path in remaining (file) order. We simulate the skip
+    semantics with an explicit cursor. The first-visited event with a
+    given (type, trigger, args) expression wins; later duplicates are
+    deleted and recorded in equiv."""
     has_e_arg = {
         fid: any(re.search(r"\:E[0-9-]+$", a) for a in frame_ann[fid][2])
         for fid in frame_ann
     }
-    ordered = [fid for fid in frame_ann if not has_e_arg[fid]] + [
-        fid for fid in frame_ann if has_e_arg[fid]
-    ]
+    ordered: List[str] = []
+    worklist = list(frame_ann)
+    while worklist:
+        removed_any = False
+        # cursor model of `for r in lst: lst.remove(r)`: fetch at j, pop
+        # shifts the tail, unconditional j+=1 then skips the new lst[j]
+        j = 0
+        while j < len(worklist):
+            fid = worklist[j]
+            if not has_e_arg[fid]:
+                ordered.append(fid)
+                worklist.pop(j)
+                removed_any = True
+            j += 1
+        if not removed_any:  # only E-arg events left: the "circular" flush
+            ordered.extend(worklist)
+            worklist = []
     seen_expr: Dict[str, str] = {}
     for fid in ordered:
         t_type, t_id, args = frame_ann[fid]
@@ -208,7 +231,9 @@ class _DocMatcher:
         soft_class: bool = False,
         soft_args: bool = False,
         span_class_fallback: bool = False,
+        theme_slot: str = "Theme",
     ) -> None:
+        self.theme_slot = theme_slot
         self.a1 = a1
         self.a_span = a_span
         self.a_frame = a_frame
@@ -273,8 +298,11 @@ class _DocMatcher:
         ae = self.a_frame[aid][2]
         ge = self.g_frame[gid][2]
         if self.soft_args:
-            # trim trailing non-Theme args (reference mutates; we copy)
-            theme_pat = re.compile(r"^Theme\:")
+            # trim trailing non-theme args (reference mutates; we copy).
+            # The pattern follows the matcher's theme slot so the usage
+            # variant trims '^target:' (deRE_evaluation_usage.py:403-405),
+            # not a hardcoded 'Theme'.
+            theme_pat = re.compile(r"^%s\:" % re.escape(self.theme_slot))
             ae = list(ae)
             ge = list(ge)
             while ae and not theme_pat.search(ae[-1]):
@@ -349,6 +377,7 @@ def score_document(
     m = _DocMatcher(
         a1, a_span, a_frame, g_span, g_frame, text, marked,
         soft_span, soft_overlap_span, span_class_fallback=span_class_fallback,
+        theme_slot=theme_slot,
     )
 
     # --- span section: offsets-only all-pairs matching ---
@@ -442,10 +471,10 @@ def legacy_event_scores(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples(index=False):
                 scored = score_document(
-                    r["text"] or "", r["a1"] or "", r["gold_a2"] or "",
-                    r["answer_a2"] or "", classes,
+                    r.text or "", r.a1 or "", r.gold_a2 or "",
+                    r.answer_a2 or "", classes,
                     soft_span=soft_span, soft_overlap_span=soft_overlap_span,
                     theme_slot=theme, span_class_fallback=fallback,
                 )
@@ -502,15 +531,28 @@ def load_legacy_pairs(
             return None
         return _read_whole_files(spark, f"{d}/*.{ext}", ext)
 
-    txt = read("txt", gold_dir).withColumnRenamed("content", "text")
+    txt = read("txt", gold_dir)
+    if txt is None:
+        raise FileNotFoundError(
+            f"score-legacy: no *.txt document files in gold dir {gold_dir!r}"
+        )
+    txt = txt.withColumnRenamed("content", "text")
     a1 = read("a1", gold_dir)
     if a1 is None:
         a1 = txt.select("doc_id", F.lit("").alias("a1"))
     else:
         a1 = a1.withColumnRenamed("content", "a1")
     gold = read("a2.t1", gold_dir) or read("a2", gold_dir)  # CLI reads .a2.t1
+    if gold is None:
+        raise FileNotFoundError(
+            f"score-legacy: no *.a2.t1 or *.a2 gold annotation files in {gold_dir!r}"
+        )
     gold = gold.withColumnRenamed("content", "gold_a2")
     hypo = read("a2", hypo_dir) or read("ann", hypo_dir)
+    if hypo is None:
+        raise FileNotFoundError(
+            f"score-legacy: no *.a2 or *.ann hypothesis files in {hypo_dir!r}"
+        )
     hypo = hypo.withColumnRenamed("content", "answer_a2")
     return (
         txt.join(a1, "doc_id", "left")

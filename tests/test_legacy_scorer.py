@@ -86,6 +86,41 @@ def test_event_dedup_removes_exact_duplicates():
     assert _counts(scored, "Phosphorylation", "event") == [1, 1, 1, 1]
 
 
+def test_event_dedup_skip_order_keeps_later_adjacent_duplicate():
+    # The reference's worklist pass removes during iteration, so CPython's
+    # bare-index iterator SKIPS every other element: with no-E-arg events
+    # E1..E5 the visit order is E1,E3,E5,E2,E4 (deRE_evaluation.py:113-138,
+    # verified by simulation). Adjacent duplicates E2==E3 therefore keep
+    # the LATER id E3 (visited first), and a parent event whose arg was
+    # parsed as Theme:E3 (args are never re-canonicalized after dedup)
+    # still resolves. File-order processing would keep E2, delete E3, and
+    # silently fail the parent match.
+    gold = (
+        "T5\tPhosphorylation 4 18\tphosphorylates\n"
+        "T7\tRegulation 4 18\tphosphorylates\n"
+        "E1\tPhosphorylation:T5 Theme:T2\n"
+        "E2\tRegulation:T7 Theme:E1\n"
+    )
+    answer = (
+        "T5\tPhosphorylation 4 18\tphosphorylates\n"
+        "T6\tBinding 31 36\tbinds\n"
+        "T7\tRegulation 4 18\tphosphorylates\n"
+        "T8\tGene_expression 4 18\tphosphorylates\n"
+        "T9\tLocalization 31 36\tbinds\n"
+        "E1\tBinding:T6 Theme:T3 Theme2:T4\n"
+        "E2\tPhosphorylation:T5 Theme:T2\n"
+        "E3\tPhosphorylation:T5 Theme:T2\n"
+        "E4\tGene_expression:T8 Theme:T1\n"
+        "E5\tLocalization:T9 Theme:T4\n"
+        "E6\tRegulation:T7 Theme:E3\n"
+    )
+    scored = score_document(TEXT1, A1_1, gold, answer, BIONLP_TARGET_CLASSES)
+    # one of the two duplicate Phosphorylation events was removed
+    assert _counts(scored, "Phosphorylation", "event") == [1, 1, 1, 1]
+    # the parent's Theme:E3 must still resolve — E3 is the surviving twin
+    assert _counts(scored, "Regulation", "event") == [1, 1, 1, 1]
+
+
 TEXT2 = "X controls phosphorylation of Y."
 A1_2 = "T1\tProtein 0 1\tX\nT2\tProtein 30 31\tY\n"
 GOLD2 = (
