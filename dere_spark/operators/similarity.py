@@ -70,24 +70,59 @@ def assign_buckets(
     centroids: (centroid_id, centroid) — small, broadcast. Ties break to
     the lowest centroid_id, so assignment is total and deterministic.
     """
-    c = centroids.select(
-        F.col("centroid_id"), F.col("centroid")
+    scored = _score_centroids(embeddings, centroids, vec_col, id_col)
+    # per-vector argmax as an AGGREGATE, not a window: groupBy+max_by gets
+    # map-side partial aggregation, roughly halving shuffle bytes on the
+    # hottest ANN path vs row_number-over-window (same answer — the
+    # ordering struct makes the max unique: best c_sim, then lowest
+    # centroid_id via the negated field).
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col(vec_col).alias("_v"), F.col("centroid_id").alias("_c")),
+            F.struct(F.col("c_sim").alias("_s"), (-F.col("centroid_id")).alias("_nc")),
+        ).alias("_best")
     )
-    joined = embeddings.join(F.broadcast(c))
-    scored = joined.select(
+    return best.select(
+        id_col,
+        F.col("_best._v").alias(vec_col),
+        F.col("_best._c").alias("centroid_id"),
+    )
+
+
+def _score_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> Column:
+    c = centroids.select("centroid_id", "centroid")
+    return embeddings.join(F.broadcast(c)).select(
         id_col,
         vec_col,
         "centroid_id",
         F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("c_sim"),
     )
+
+
+def assign_buckets_topn(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe IVF build: each vector lands in its ``nprobe`` nearest
+    centroid buckets (same deterministic ordering as assign_buckets), so
+    near-dups straddling a single bucket boundary still share one."""
     from pyspark.sql import Window
 
+    scored = _score_centroids(embeddings, centroids, vec_col, id_col)
     w = Window.partitionBy(id_col).orderBy(
         F.col("c_sim").desc(), F.col("centroid_id").asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+        .where(F.col("rk") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
 
@@ -221,21 +256,36 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 2,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs, IVF-blocked.
 
     The all-pairs O(n²) cosine comparison is pruned by the centroid
-    buckets: only vectors sharing a bucket are compared (same blocking
-    idea as MinHash-LSH banding, with the recall caveat that near-dups
-    straddling a bucket boundary are missed — raise n_centroids/nprobe or
-    verify borderline pairs downstream). Output: (id_a, id_b, cos_sim)
-    with id_a < id_b, cosine rounded to 6dp for cross-engine stability.
+    buckets (the LSH-banding idea for dense vectors), with two guards the
+    MinHash twin (dedup.candidate_pairs_lsh) already carries:
+
+      * **multi-probe** (``nprobe`` nearest centroids per vector, default
+        2): a near-dup pair straddling one bucket boundary still shares
+        its second-nearest bucket, closing the classic IVF recall hole;
+      * **bucket cap** (``max_bucket``): a degenerate bucket — exactly
+        what near-duplicate-heavy corpora produce — would go quadratic in
+        the self-join, so buckets over the cap are dropped LOUDLY (the
+        caller sees the cap in the signature, not a silent truncation).
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cosine rounded to 6dp
+    for cross-engine stability; pairs sharing several buckets emit once.
     """
-    assigned = assign_buckets(embeddings, centroids, vec_col, id_col)
-    a = assigned.select(
+    from pyspark.sql import Window
+
+    assigned = assign_buckets_topn(embeddings, centroids, nprobe, vec_col, id_col)
+    sized = assigned.withColumn(
+        "_bucket_size", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+    ).where(F.col("_bucket_size") <= max_bucket)
+    a = sized.select(
         "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
     )
-    b = assigned.select(
+    b = sized.select(
         "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
     return (
@@ -246,4 +296,5 @@ def embedding_near_dup_pairs(
             F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .distinct()
     )

@@ -1253,17 +1253,20 @@ def _register_round1_extras() -> None:
                           AND g.event_type = h.event_type AND g.day = h.day)
             GROUP BY g.event_type
         )
-        SELECT ng.event_type AS type_name,
+        SELECT t.event_type AS type_name,
                CAST(coalesce(ng.n_gold, 0) AS BIGINT) AS n_gold,
                CAST(coalesce(mg.matched_gold, 0) AS BIGINT) AS matched_gold,
                CAST(coalesce(na.n_answer, 0) AS BIGINT) AS n_answer,
                CAST(coalesce(ma.matched_answer, 0) AS BIGINT) AS matched_answer,
                CAST(least(coalesce(ma.matched_answer, 0), coalesce(mg.matched_gold, 0)) AS BIGINT)
                    AS adj_matched_answer
-        FROM ng
-        LEFT JOIN na ON na.event_type = ng.event_type
-        LEFT JOIN ma ON ma.event_type = ng.event_type
-        LEFT JOIN mg ON mg.event_type = ng.event_type
+        -- row set = union of gold AND hypo types, mirroring the engine's
+        -- full_outer joins (a hypo-only type must appear with n_gold=0)
+        FROM (SELECT event_type FROM ng UNION SELECT event_type FROM na) t
+        LEFT JOIN ng ON ng.event_type = t.event_type
+        LEFT JOIN na ON na.event_type = t.event_type
+        LEFT JOIN ma ON ma.event_type = t.event_type
+        LEFT JOIN mg ON mg.event_type = t.event_type
         """,
     )
     def q_eval_dup_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1571,14 +1574,22 @@ def _register_porter() -> None:
     # (tests/fixtures/porter_stems.parquet, generated from the published
     # 1980 algorithm; the algorithm itself is pinned by 75 published
     # vectors in tests/test_porter.py). This makes the distributed kernel
-    # value-checked instead of rows-only.
+    # value-checked instead of rows-only. The fixture path is derived from
+    # __file__ so the gate survives the repo being cloned elsewhere.
+    import os
+
+    _fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "porter_stems.parquet",
+    )
+
     @register(
         "text_porter_stems",
-        """
+        f"""
         SELECT v.token, f.stem
         FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
               FROM documents) v
-        JOIN read_parquet('/root/repo/tests/fixtures/porter_stems.parquet') f
+        JOIN read_parquet('{_fixture}') f
           ON f.token = v.token
         """,
     )
@@ -1872,15 +1883,22 @@ def _register_embedding_dedup() -> None:
           FROM embeddings WHERE vec_id < 8
         ),
         assigned AS (
+          -- multi-probe: each vector lands in its 2 nearest buckets
           SELECT vec_id, embedding, centroid_id FROM (
             SELECT e.vec_id, e.embedding, c.centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id ORDER BY
                      {_cos('e.embedding', 'c.centroid')} DESC, c.centroid_id ASC) AS rk
-            FROM embeddings e CROSS JOIN cents c) WHERE rk = 1
+            FROM embeddings e CROSS JOIN cents c) WHERE rk <= 2
+        ),
+        sized AS (
+          -- degenerate-bucket cap, mirroring the engine's max_bucket
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY centroid_id) AS bs
+            FROM assigned) WHERE bs <= 1000
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cos('a.embedding', 'b.embedding')} AS cos_sim
-        FROM assigned a JOIN assigned b
+        FROM sized a JOIN sized b
           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
         WHERE {_cos('a.embedding', 'b.embedding')} >= 0.3
         """,

@@ -183,6 +183,91 @@ def test_kmeans_ivf_recall(spark):
     assert hits / total >= 0.9, f"recall@10 = {hits / total}"
 
 
+def _clustered_with_twins():
+    """Deterministic clustered vectors + near-identical twins, including
+    twins sitting ON cluster-boundary midpoints (the IVF recall hole)."""
+    import math
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def base(seed):
+        return norm([
+            math.sin(0.7 * seed * (i + 1)) + (2.0 if i == seed % 16 else 0.0)
+            for i in range(16)
+        ])
+
+    rows, vid = [], 0
+    for c in range(8):
+        b = base(c)
+        m = norm([x + y for x, y in zip(base(c), base((c + 1) % 8))])  # midpoint
+        for v in (b, m):
+            for twin in range(2):  # twin pairs: cosine ~0.99999
+                jit = [1e-4 * math.sin(1.3 * (vid + i)) for i in range(16)]
+                rows.append((vid, [x + g for x, g in zip(v, jit)]))
+                vid += 1
+        for j in range(8):  # in-cluster filler
+            jit = [0.02 * math.sin(1.1 * (vid + i)) for i in range(16)]
+            rows.append((vid, [x + g for x, g in zip(b, jit)]))
+            vid += 1
+    return rows
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark):
+    """VERDICT r2 next-step #4: multi-probe (nprobe=2) assignment must
+    recover >= 0.95 of the brute-force cosine pairs at the threshold —
+    including twin pairs that straddle a centroid boundary."""
+    import numpy as np
+
+    from dere_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        kmeans_centroids,
+    )
+
+    rows = _clustered_with_twins()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, k=8, iterations=3)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, cents, threshold=0.999).collect()
+    }
+
+    mat = np.array([v for _, v in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(unit @ unit.T, 6)
+    ia, ib = np.where(np.triu(cos >= 0.999, k=1))
+    truth = {(int(rows[a][0]), int(rows[b][0])) for a, b in zip(ia, ib)}
+    assert truth, "fixture must contain true near-dup pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"near-dup recall {recall} ({len(truth)} true pairs)"
+    assert got <= truth  # blocking may lose pairs, never invent them
+
+
+def test_embedding_near_dup_degenerate_bucket_capped(spark):
+    """VERDICT r2 'What's wrong' #2: a degenerate bucket (everything
+    near-identical — exactly the near-dup-heavy regime) must be capped
+    loudly, bounding the self-join output instead of going quadratic."""
+    import math
+
+    from dere_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [
+        (i, [1.0 + 1e-5 * math.sin(i + j) for j in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)],
+        "centroid_id int, centroid array<double>",
+    )
+    # every vector lands in the same buckets -> bucket size 60 > cap 20
+    capped = embedding_near_dup_pairs(emb, cents, threshold=0.9, max_bucket=20)
+    assert capped.count() == 0
+    # with a big enough cap the same call yields the full within-bucket set
+    full = embedding_near_dup_pairs(emb, cents, threshold=0.9, max_bucket=1000)
+    assert full.count() == 60 * 59 // 2
+
+
 def test_shortest_dep_paths_fixture(spark):
     """F6/O1: BFS over a hand-built dependency tree —
         1(root) -nsubj- 2, 1 -dobj- 3, 3 -amod- 4; node 9 isolated."""
@@ -288,6 +373,34 @@ def test_count_vectorizer_sklearn_parity(spark):
     v2 = {r["term"]: r["index"] for r in fit_vocabulary(docs, ngram=2).collect()}
     want_idx = sorted([v2["the mat"], v2["mat the"], v2["the cat"]])
     assert rows2["d2"][0] == want_idx
+
+
+def test_fit_vocabulary_two_phase_no_global_window(spark):
+    """VERDICT r2 'What's wrong' #1: the vocabulary fit must not rank the
+    whole distinct-term set through a single unpartitioned window. Every
+    window in the fit plan is keyed by the range-partition id, and the
+    two-phase indices still equal the global alphabetical rank."""
+    import re
+
+    from dere_spark.operators.vectorize import fit_vocabulary
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"term{i:03d} shared{i % 7:02d} common") for i in range(80)],
+        "doc_id string, text string",
+    )
+    vocab = fit_vocabulary(docs, num_partitions=8)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"no window found in fit plan:\n{plan[:1500]}"
+    for spec in specs:
+        assert spec.lstrip().startswith("_pid"), (
+            f"unpartitioned window in vocabulary fit: {spec}\n{plan[:1500]}"
+        )
+    got = {r["term"]: r["index"] for r in vocab.collect()}
+    assert got == {t: i for i, t in enumerate(sorted(got))}
+    # parallelism-invariant: same indices at a different partition count
+    again = {r["term"]: r["index"] for r in fit_vocabulary(docs, num_partitions=3).collect()}
+    assert again == got
 
 
 def test_resize_and_frame_sample_plumbing(spark):
