@@ -188,24 +188,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             vids = batch[batch["modality"] == "video"]
-            rows = []
-            for _, r in vids.iterrows():
-                duration = int(r["duration_ms"] or 0)
-                seed = r["payload"] if r["payload"] is not None else b""
-                for i, ts in enumerate(range(0, duration, every_ms)):
-                    rows.append(
-                        (
-                            r["media_id"], i, ts,
-                            _stub_bytes(bytes(seed) + ts.to_bytes(4, "big"), 32),
-                            r["width"], r["height"],
-                        )
-                    )
+            # vectorized timestamp-grid explode: one np.repeat over the
+            # whole batch builds the row index, then the per-frame
+            # timestamp is a cumulative offset within each video — no
+            # per-row Python except the payload stub itself (which is
+            # the codec seam a real decoder replaces).
+            durations = vids["duration_ms"].fillna(0).astype(np.int64).to_numpy()
+            n_frames = np.maximum((durations + every_ms - 1) // every_ms, 0)
+            row_idx = np.repeat(np.arange(len(vids)), n_frames)
+            frame_idx = np.concatenate(
+                [np.arange(n) for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype=np.int64)
+            ts_ms = frame_idx * every_ms
+            payloads = vids["payload"].to_numpy()
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "frame_idx", "ts_ms", "frame_payload",
-                    "width", "height",
-                ],
+                {
+                    "media_id": vids["media_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": ts_ms.astype(np.int32),
+                    "frame_payload": [
+                        _stub_bytes(
+                            bytes(payloads[ri] or b"") + int(ts).to_bytes(4, "big"),
+                            32,
+                        )
+                        for ri, ts in zip(row_idx, ts_ms)
+                    ],
+                    "width": vids["width"].to_numpy()[row_idx],
+                    "height": vids["height"].to_numpy()[row_idx],
+                }
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)

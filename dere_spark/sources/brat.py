@@ -517,46 +517,46 @@ def dump_brat(
         )
         frame_tag_of = {t: f"E{i+1}" for i, t in enumerate(frame_order["frame_tag"])}
 
-        for _, irow in inst_rows.iterrows():
-            idx = irow["instance_idx"]
-            txt_lines.append(irow["i_text"])
-            off = int(irow["i_start"])
-            for _, s in span_rows[span_rows["instance_idx"] == idx].iterrows():
-                if pd.notna(s["file_index"]):
-                    tag_n = int(s["file_index"])
+        for irow in inst_rows.itertuples(index=False):
+            idx = irow.instance_idx
+            txt_lines.append(irow.i_text)
+            off = int(irow.i_start)
+            for s in span_rows[span_rows["instance_idx"] == idx].itertuples(index=False):
+                if pd.notna(s.file_index):
+                    tag_n = int(s.file_index)
                 else:
                     while next_span_idx in used:
                         next_span_idx += 1
                     tag_n = next_span_idx
                     used.add(tag_n)
                     next_span_idx += 1
-                span_tag_of[(idx, s["span_type"], s["left"], s["right"], s["source"])] = tag_n
+                span_tag_of[(idx, s.span_type, s.left, s.right, s.source)] = tag_n
                 line = "T%d\t%s %d %d\t%s" % (
-                    tag_n, s["span_type"], int(s["left"]) + off, int(s["right"]) + off, s["text"],
+                    tag_n, s.span_type, int(s.left) + off, int(s.right) + off, s.text,
                 )
-                (a1_lines if s["source"] == "given" else a2_lines).append(line)
+                (a1_lines if s.source == "given" else a2_lines).append(line)
             inst_fills = fill_rows[fill_rows["instance_idx"] == idx]
             for ftag in inst_fills["frame_tag"].drop_duplicates():
                 frows = inst_fills[inst_fills["frame_tag"] == ftag]
                 parts = []
-                for _, fr in frows.iterrows():
-                    if fr["filler_kind"] == "span":
-                        if pd.notna(fr["filler_file_index"]):
-                            ref = "T%d" % int(fr["filler_file_index"])
+                for fr in frows.itertuples(index=False):
+                    if fr.filler_kind == "span":
+                        if pd.notna(fr.filler_file_index):
+                            ref = "T%d" % int(fr.filler_file_index)
                         else:
                             # span created at predict time: resolve through
                             # the tag assigned while dumping its span line
                             key = (
-                                fr["filler_instance_idx"],
-                                fr["filler_span_type"],
-                                fr["filler_left"],
-                                fr["filler_right"],
-                                fr["filler_source"],
+                                fr.filler_instance_idx,
+                                fr.filler_span_type,
+                                fr.filler_left,
+                                fr.filler_right,
+                                fr.filler_source,
                             )
                             ref = "T%d" % span_tag_of[key]
                     else:
-                        ref = frame_tag_of.get(fr["filler_tag"], fr["filler_tag"])
-                    parts.append("%s:%s" % (fr["slot_name"], ref))
+                        ref = frame_tag_of.get(fr.filler_tag, fr.filler_tag)
+                    parts.append("%s:%s" % (fr.slot_name, ref))
                 line = "%s\t%s" % (frame_tag_of[ftag], " ".join(parts))
                 src = frows["source"].iloc[0]
                 (a1_lines if src == "given" else a2_lines).append(line)

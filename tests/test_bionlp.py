@@ -72,6 +72,7 @@ def test_nested_extraction_beats_flat(spark, result):
     # regulation types requires frame fillers to have matched)
 
 
+@pytest.mark.slow  # trains the pair classifier end-to-end
 def test_learned_classifier_runs(spark):
     from dere_spark.bionlp import run_bionlp_eval_learned
 
@@ -81,6 +82,7 @@ def test_learned_classifier_runs(spark):
     assert r.precision("span") >= 0.6  # trigger precision filter works
 
 
+@pytest.mark.slow  # ~3 min: full two-stage training on the tutorial corpus
 def test_learned_nested_hits_quality_gate(spark):
     """r2 quality target (VERDICT r1 next-step #4): the two-stage learned
     nested extractor reaches frame F1 >= 0.40 on tutorial/train — vs the

@@ -36,6 +36,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow  # subprocess spark-submit: full JVM + session startup
 @pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
 def test_spark_submit_py_files(tmp_path):
     zip_path = str(tmp_path / "dere_spark.zip")
