@@ -28,13 +28,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def tokenize(documents: DataFrame, sep: str = " ", text_col: str = "text") -> DataFrame:
+def tokenize(
+    documents: DataFrame,
+    sep: str = " ",
+    text_col: str = "text",
+    sep_len: int | None = None,
+) -> DataFrame:
     """documents(doc_id, text, ...) -> tokens(doc_id, token_idx, token, left, right).
 
     Whitespace tokenizer with exact character offsets. Deterministic and
     order-stable across parallelism levels (offsets derived from token_idx,
     never from physical row order).
+
+    ``sep`` is a Java regex; when it matches a fixed width other than
+    ``len(sep)`` (e.g. the single-char class ``[\\s]``), pass ``sep_len``
+    explicitly so the offset prefix-sum stays exact.
     """
+    if sep_len is None:
+        sep_len = len(sep)
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("token_idx", "token"),
@@ -46,7 +57,7 @@ def tokenize(documents: DataFrame, sep: str = " ", text_col: str = "text") -> Da
     )
     toks = toks.withColumn(
         "left",
-        F.coalesce(F.sum(F.length("token") + len(sep)).over(w), F.lit(0)).cast("int"),
+        F.coalesce(F.sum(F.length("token") + sep_len).over(w), F.lit(0)).cast("int"),
     ).withColumn("right", (F.col("left") + F.length("token")).cast("int"))
     return toks
 

@@ -27,7 +27,10 @@ from __future__ import annotations
 import re
 from typing import Iterator, List, Tuple
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from dere_spark.operators.tokenize import tokenize
 
 # --- the nltk 3.3 TreebankWordTokenizer rule chain (published) ----------
 
@@ -120,6 +123,175 @@ def treebank_spans(text: str) -> List[Tuple[int, int]]:
         point = start + len(token)
         offsets.append((start, point))
     return offsets
+
+
+def _treebank_rule_chain(word, is_first, is_last):
+    """The nltk 3.3 rule chain over ONE whitespace-delimited word, as a
+    Catalyst Column (Java regex). Rules never merge across whitespace —
+    they only insert it — so applying the chain per word is equivalent to
+    applying it to the full text, with two text-anchored rules gated on
+    the first/last word (``^"`` and the final-period splitter) and the
+    end-anchored variants standing in for "followed by a space" on
+    non-final words. Replacements use Java's ``$n`` group syntax; inline
+    ``(?#X)`` comments from the published patterns are dropped (Java has
+    no regex comments); otherwise the patterns are the nltk 3.3 chain
+    verbatim, in order."""
+    w = F.when(is_first, F.regexp_replace(word, r'^"', "``")).otherwise(word)
+    # STARTING_QUOTES 2-3 (the space class gains ^: word-initial == after
+    # an original inter-word space)
+    w = F.regexp_replace(w, r"(``)", " $1 ")
+    w = F.regexp_replace(w, r"(^|[ \(\[{<])(\"|'{2})", "$1 `` ")
+    # PUNCTUATION
+    w = F.regexp_replace(w, r"([:,])([^\d])", " $1 $2")
+    w = F.regexp_replace(w, r"([:,])$", " $1 ")
+    w = F.regexp_replace(w, r"\.\.\.", " ... ")
+    w = F.regexp_replace(w, r"[;@#$%&]", " $0 ")
+    w = F.when(
+        is_last,
+        F.regexp_replace(w, r'([^\.])(\.)([\]\)}>"\']*)\s*$', "$1 $2$3 "),
+    ).otherwise(w)
+    w = F.regexp_replace(w, r"[?!]", " $0 ")
+    w = F.when(
+        is_last,  # text-final quote keeps nltk's no-trailing-space no-op
+        F.regexp_replace(w, r"([^'])' ", "$1 ' "),
+    ).otherwise(F.regexp_replace(w, r"([^'])'( |$)", "$1 ' $2"))
+    # PARENS_BRACKETS + DOUBLE_DASHES
+    w = F.regexp_replace(w, r"[\]\[\(\)\{\}<>]", " $0 ")
+    w = F.regexp_replace(w, r"--", " -- ")
+    # nltk pads before the ending-quote/contraction rules
+    w = F.concat(F.lit(" "), w, F.lit(" "))
+    # ENDING_QUOTES
+    w = F.regexp_replace(w, r'"', " '' ")
+    w = F.regexp_replace(w, r"(\S)('')", "$1 $2 ")
+    w = F.regexp_replace(w, r"([^' ])('[sS]|'[mM]|'[dD]|') ", "$1 $2 ")
+    w = F.regexp_replace(
+        w, r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", "$1 $2 "
+    )
+    # MacIntyre contractions
+    for pat in (
+        r"(?i)\b(can)(not)\b",
+        r"(?i)\b(d)('ye)\b",
+        r"(?i)\b(gim)(me)\b",
+        r"(?i)\b(gon)(na)\b",
+        r"(?i)\b(got)(ta)\b",
+        r"(?i)\b(lem)(me)\b",
+        r"(?i)\b(mor)('n)\b",
+        r"(?i)\b(wan)(na)\s",
+    ):
+        w = F.regexp_replace(w, pat, " $1 $2 ")
+    for pat in (r"(?i) ('t)(is)\b", r"(?i) ('t)(was)\b"):
+        w = F.regexp_replace(w, pat, " $1 $2 ")
+    return w
+
+
+#: Pure-alphanumeric words no rule can touch — except the all-letter
+#: contractions, which must take the slow path.
+_LETTER_CONTRACTIONS = ("cannot", "gimme", "gonna", "gotta", "lemme", "wanna")
+
+
+def tokenize_treebank_sql(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treebank tokenization entirely JVM-side — the webtext default.
+
+    Physical strategy (why this beats the Arrow kernel at scale): the r2
+    A/B showed Python->JVM Arrow IPC of the full token stream LOSES to a
+    JVM shuffle (webtext.py module note). This variant keeps every byte in
+    the JVM: whitespace words come from the existing windowed ``tokenize``
+    (single doc_id exchange, reused downstream), then each word is
+    sub-split by the nltk 3.3 rule chain compiled to ``regexp_replace``
+    Catalyst expressions, with quote-back conversion and offsets done by
+    array higher-order functions. Sub-token offsets are per-word prefix
+    sums — exact, because after quote-back the sub-tokens partition the
+    word's characters (Treebank rules only insert whitespace). A fast
+    path skips the ~20-regex chain for purely alphanumeric words (the
+    overwhelming majority of web tokens).
+
+    Parity: equals the recorded-nltk-3.3 Arrow kernel (`tokenize_treebank`)
+    on every recorded vector and fixture (tests/test_treebank.py). Known
+    deviations, documented: (a) punctuation abutting a TAB/NEWLINE is
+    treated as space-adjacent (nltk's literal-space contexts see the real
+    character); (b) nltk's quote-back pops finder matches across word
+    boundaries in the pathological embedded-unconsumed-quote case — this
+    variant stays word-local. Neither occurs in the reference corpora or
+    the recorded vectors.
+    """
+    from pyspark.sql import Window
+
+    words = tokenize(documents, sep=r"[\s]", text_col=text_col, sep_len=1)
+    wdoc = Window.partitionBy("doc_id")
+    words = words.withColumn(
+        "_last_idx",
+        F.max(F.when(F.length("token") > 0, F.col("token_idx"))).over(wdoc),
+    )
+    is_first = F.col("token_idx") == 0
+    is_last = F.col("token_idx") == F.col("_last_idx")
+    fast = (~F.col("token").rlike("[^A-Za-z0-9]")) & (
+        ~F.lower("token").isin(*_LETTER_CONTRACTIONS)
+    )
+    chain = _treebank_rule_chain(F.col("token"), is_first, is_last)
+    raw = F.when(fast, F.array(F.col("token"))).otherwise(
+        F.filter(F.split(chain, " ", -1), lambda t: t != F.lit(""))
+    )
+    sub = words.select(
+        "doc_id",
+        F.col("token_idx").alias("_widx"),
+        F.col("left").alias("_wleft"),
+        F.col("token").alias("_word"),
+        raw.alias("_raw"),
+    )
+    # quote-back (nltk span_tokenize): the i-th converted-quote token maps
+    # to the i-th quote-finder match in the ORIGINAL word, restoring the
+    # verbatim substring so offsets stay exact. Gated on quote presence so
+    # the regexp_extract_all + transform run only on quote-bearing words.
+    quoteish = lambda t: t.isin('"', "``", "''")  # noqa: E731
+    has_quote = F.col("_word").rlike("``|''|\"")
+    sub = sub.withColumn(
+        "_qm",
+        F.when(has_quote, F.regexp_extract_all("_word", F.lit("``|''|\""), 0)),
+    )
+    sub = sub.withColumn(
+        "_fixed",
+        F.filter(
+            F.when(
+                has_quote,
+                F.transform(
+                    "_raw",
+                    lambda t, i: F.when(
+                        quoteish(t),
+                        F.element_at(
+                            "_qm",
+                            F.size(
+                                F.filter(F.slice("_raw", F.lit(1), i + 1), quoteish)
+                            ),
+                        ),
+                    ).otherwise(t),
+                ),
+            ).otherwise(F.col("_raw")),
+            lambda t: F.length(t) > 0,
+        ),
+    ).withColumn("_lens", F.expr("transform(_fixed, t -> length(t))"))
+    # global token numbering as a WORD-level prefix sum over sub-token
+    # counts: same partition key + sort order as the tokenize window, so
+    # Catalyst reuses one exchange + one sort (a row_number over the
+    # exploded sub-token stream would pay a second, bigger sort).
+    wword = (
+        Window.partitionBy("doc_id")
+        .orderBy("_widx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sub = sub.withColumn(
+        "_base_idx", F.coalesce(F.sum(F.size("_fixed")).over(wword), F.lit(0))
+    )
+    tok = sub.select(
+        "doc_id", "_base_idx", "_wleft", "_lens",
+        F.posexplode("_fixed").alias("_sidx", "token"),
+    )
+    rel_left = F.expr("aggregate(slice(_lens, 1, _sidx), 0, (a, x) -> a + x)")
+    return tok.select(
+        "doc_id",
+        (F.col("_base_idx") + F.col("_sidx")).cast("int").alias("token_idx"),
+        "token",
+        (F.col("_wleft") + rel_left).cast("int").alias("left"),
+    ).withColumn("right", (F.col("left") + F.length("token")).cast("int"))
 
 
 def tokenize_treebank(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -143,8 +143,15 @@ triples AS (
     KG_CTES + 'SELECT doc_id, token_idx, token, "left", "right" FROM tokens',
 )
 def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset-preserving tokenization (SURVEY §2.8 F5/F7)."""
-    return tokenize(load_documents(spark, sf_dir)).select(
+    """Offset-preserving tokenization (SURVEY §2.8 F5/F7) — the pipeline's
+    DEFAULT tokens stage, which since r3 is Treebank segmentation
+    (tokenize_treebank_sql). The oracle stays string_split(' '): on this
+    corpus (single-spaced, no punctuation — every word takes the
+    alphanumeric fast path) Treebank output is exactly the whitespace
+    split, so the compare is like-for-like; any punctuation leaking into
+    the corpus would fail the gate loudly. The punctuated-text behavior
+    is value-checked by the treebank_punct_* gates below."""
+    return cached_stages(spark, sf_dir)["tokens"].select(
         "doc_id", "token_idx", "token", "left", "right"
     )
 
@@ -160,9 +167,10 @@ def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kg_text_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identical text invariant (reference: brat_corpus_io.py:158) —
-    result must be EMPTY; driver verifies 0 == 0 against the oracle."""
-    docs = load_documents(spark, sf_dir)
-    return fidelity_violations(docs, tokenize(docs))
+    result must be EMPTY; driver verifies 0 == 0 against the oracle.
+    Checks the pipeline's DEFAULT tokens stage (Treebank since r3)."""
+    stages = cached_stages(spark, sf_dir)
+    return fidelity_violations(stages["documents"], stages["tokens"])
 
 
 @register(
@@ -190,6 +198,100 @@ def q_treebank_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("left").cast("int").alias("left"),
         F.col("right").cast("int").alias("right"),
+    )
+
+
+#: fixed punctuated suffix for the treebank_punct_* gates; its recorded
+#: nltk-3.3 tokenization (17 tokens vs 9 whitespace words) is pinned below
+#: and in tests/test_treebank.py
+_PUNCT_SUFFIX = " He said: \"do not stop\" -- but (carefully), don't!"
+_PUNCT_SUFFIX_SQL = _PUNCT_SUFFIX.replace("'", "''")
+
+
+@register(
+    "treebank_punct_delta",
+    f"""
+    -- The oracle PREDICTS the treebank token count analytically: the base
+    -- corpus text is single-spaced [A-Za-z0-9 ] (punctuation leaking in
+    -- would fail this gate), so Treebank == whitespace there, the rules
+    -- are word-local, and the appended suffix contributes exactly
+    -- 17 Treebank tokens vs its 9 whitespace words => delta = +8
+    -- (recorded nltk-3.3 tokenization). Non-zero delta proves the
+    -- treebank default actually bites on punctuated text.
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(len(string_split(text || '{_PUNCT_SUFFIX_SQL}', ' ')) + 8 AS BIGINT)
+               AS n_treebank,
+           CAST(len(string_split(text || '{_PUNCT_SUFFIX_SQL}', ' ')) AS BIGINT)
+               AS n_whitespace,
+           CAST(8 AS BIGINT) AS delta
+    FROM documents
+    """,
+)
+def q_treebank_punct_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-count delta between the Treebank default and
+    whitespace splitting on deterministically punctuated text (each doc
+    gets the same fixed punctuated suffix appended). Value-checks the
+    distributed JVM rule chain: it must split exactly the predicted
+    number of times on every document."""
+    from dere_spark.operators.treebank import tokenize_treebank_sql
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", F.concat("text", F.lit(_PUNCT_SUFFIX)).alias("text")
+    )
+    tb = tokenize_treebank_sql(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_treebank")
+    )
+    ws = tokenize(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_whitespace")
+    )
+    return tb.join(ws, "doc_id").select(
+        "doc_id",
+        "n_treebank",
+        "n_whitespace",
+        (F.col("n_treebank") - F.col("n_whitespace")).alias("delta"),
+    )
+
+
+@register(
+    "treebank_punct_tokens",
+    """
+    -- expected tokenization of the fixed punctuated suffix (offsets
+    -- relative to the suffix start), recorded from the pinned nltk-3.3
+    -- semantics; every document must produce EXACTLY this token stream
+    -- in its suffix region, so the distinct set over the corpus equals
+    -- this 17-row literal
+    SELECT * FROM (VALUES
+      ('He', 1, 3), ('said', 4, 8), (':', 8, 9), ('"', 10, 11),
+      ('do', 11, 13), ('not', 14, 17), ('stop', 18, 22), ('"', 22, 23),
+      ('--', 24, 26), ('but', 27, 30), ('(', 31, 32), ('carefully', 32, 41),
+      (')', 41, 42), (',', 42, 43), ('do', 44, 46), ('n''t', 46, 49),
+      ('!', 49, 50)
+    ) AS t(token, rel_left, rel_right)
+    """,
+)
+def q_treebank_punct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual suffix-region tokens (values + exact offsets) emitted by
+    the JVM Treebank chain, deduplicated across the corpus — the strong
+    half of the punctuated-text gate (treebank_punct_delta checks counts,
+    this checks every byte and offset)."""
+    from dere_spark.operators.treebank import tokenize_treebank_sql
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").alias("base_len")
+    )
+    pdocs = docs.select(
+        "doc_id", F.concat("text", F.lit(_PUNCT_SUFFIX)).alias("text")
+    )
+    toks = tokenize_treebank_sql(pdocs)
+    return (
+        toks.join(docs.select("doc_id", "base_len"), "doc_id")
+        .where(F.col("left") >= F.col("base_len"))
+        .select(
+            "token",
+            (F.col("left") - F.col("base_len")).cast("int").alias("rel_left"),
+            (F.col("right") - F.col("base_len")).cast("int").alias("rel_right"),
+        )
+        .distinct()
     )
 
 

@@ -22,9 +22,19 @@ flagship), but LOSES in multi-executor mode (same-session A/B at
 local-cluster[1x8], 100x corpus: window 31-42 s vs arrow 36-59 s): the
 Python->JVM Arrow IPC of the full token stream costs more than the
 document shuffle it saves. Exchange COUNT is not the cost model —
-bytes x medium is. The windowed JVM tokenizer stays the default; the
+bytes x medium is. The windowed JVM tokenizer stays the base layer; the
 Arrow one remains available (equivalence-tested) for IO-bound corpora
 where token volume ~ document volume.
+
+r3 update: the DEFAULT front door is now Treebank segmentation
+(`tokenize_treebank_sql`) — the reference tokenizes Treebank-style
+(span_classifier.py:361) and whitespace-by-default was only right for
+the synthetic corpus. The implementation keeps the measured-fastest
+physical shape: it builds ON the windowed JVM tokenizer (same single
+doc_id exchange) and sub-splits words with the nltk rule chain compiled
+to Catalyst regexp_replace expressions, so no token bytes ever cross the
+Python boundary; purely alphanumeric words (the vast majority) skip the
+regex chain entirely via a one-rlike fast path.
 """
 
 from __future__ import annotations
@@ -76,19 +86,27 @@ def webtext_plan() -> PlanSpec:
 
 
 def build_stages(
-    spark: SparkSession, sf_dir: str, tokenizer: str = "whitespace"
+    spark: SparkSession, sf_dir: str, tokenizer: str = "treebank"
 ) -> Dict[str, DataFrame]:
     """Construct every stage of the pipeline lazily; nothing executes until
     an action runs. Returned dict keys are stage names -> DataFrames.
 
-    ``tokenizer``: "whitespace" (default — JVM window tokenizer, right
-    for the space-separated synthetic corpus and the fastest
-    multi-executor path), "treebank" (nltk-3.3-parity Arrow kernel — the
-    correct front door for real punctuated web text, same offset
-    contract), or "arrow" (whitespace semantics, shuffle-free kernel).
+    ``tokenizer``: "treebank" (DEFAULT since r3 — nltk-3.3-parity rule
+    chain compiled to JVM regexp_replace expressions, the reference's
+    front door for real punctuated web text: span_classifier.py:361;
+    identical output to whitespace on the space-separated synthetic
+    corpus, which is what keeps every kg_* oracle like-for-like),
+    "treebank_arrow" (same semantics, Arrow kernel — recorded-vector
+    ground truth), "whitespace" (plain JVM window tokenizer), or "arrow"
+    (whitespace semantics, shuffle-free kernel).
     """
     plan = webtext_plan()
     if tokenizer == "treebank":
+        from dere_spark.operators.treebank import tokenize_treebank_sql
+
+        documents = load_documents(spark, sf_dir)
+        tokens = tokenize_treebank_sql(documents)
+    elif tokenizer == "treebank_arrow":
         from dere_spark.operators.treebank import tokenize_treebank
 
         documents = load_documents(spark, sf_dir, partition_by_doc=False)

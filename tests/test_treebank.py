@@ -12,6 +12,7 @@ import pytest
 
 from dere_spark.operators.treebank import (
     tokenize_treebank,
+    tokenize_treebank_sql,
     treebank_spans,
     treebank_tokens,
 )
@@ -101,6 +102,61 @@ def test_spark_kernel_matches_python(spark):
     for doc_id, text in rows:
         want = [(text[l:r], l, r) for (l, r) in treebank_spans(text)]
         assert by_doc.get(doc_id, []) == want, doc_id
+
+
+# extra punctuated web-ish texts exercising quote-back, contractions at
+# word boundaries, multi-space runs, and leading/trailing whitespace
+WEBBY = [
+    'She said "go home" now.',
+    '"Quoted start" and the rest...',
+    "It's a test -- isn't it?  Yes!",
+    "prices: $3.88, 3,500 units (net); done.",
+    "I wanna go, but he's gotta stay.",
+    "  leading space and trailing  ",
+    "'tis the season 'twas said",
+    "mixed\ttab and\nnewline words",
+    "",
+]
+
+
+def _stream(df):
+    out = {}
+    for r in df.orderBy("doc_id", "token_idx").collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["token_idx"], r["token"], r["left"], r["right"])
+        )
+    return out
+
+
+def test_sql_variant_matches_arrow_kernel(spark):
+    """The JVM-side tokenize_treebank_sql must emit the exact same
+    (token_idx, token, left, right) stream as the recorded-nltk Arrow
+    kernel on every recorded vector plus punctuated web-ish texts.
+    (The one documented deviation — punctuation directly abutting a
+    tab/newline — keeps tokens identical; only such a rule's space
+    context differs, and no recorded vector hits it.)"""
+    texts = [t for t, _ in RECORDED] + [NLTK_DOC_TEXT] + WEBBY
+    rows = [("d%02d" % i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = _stream(tokenize_treebank_sql(df))
+    want = _stream(tokenize_treebank(df))
+    for doc_id, _ in rows:
+        assert got.get(doc_id, []) == want.get(doc_id, []), doc_id
+
+
+def test_sql_variant_fidelity_and_parity_on_corpus(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .selectExpr("doc_id", "text")
+    )
+    sql_toks = tokenize_treebank_sql(docs)
+    joined = sql_toks.join(docs, "doc_id")
+    bad = joined.where(
+        F.expr("substring(text, left + 1, right - left)") != F.col("token")
+    )
+    assert bad.count() == 0
+    assert _stream(sql_toks) == _stream(tokenize_treebank(docs))
 
 
 def test_fidelity_on_corpus_sample(spark, sf_dir):
