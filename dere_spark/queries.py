@@ -672,18 +672,35 @@ def _register_textops() -> None:
     @register(
         "dedup_exact",
         """
+        -- the synthetic corpus has no exact duplicates, so a 0==0 match
+        -- proved nothing (VERDICT r2). Both engines SEED the same derived
+        -- view: every doc whose numeric id % 97 == 0 is duplicated under
+        -- id||'_dup', so the gate checks real hash-group values.
+        WITH seeded AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR) || '_dup', text FROM documents
+          WHERE doc_id % 97 = 0
+        )
         SELECT md5(text) AS text_hash,
                CAST(count(*) AS BIGINT) AS n_dups,
                CAST(min(doc_id) AS VARCHAR) AS representative
-        FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        FROM seeded GROUP BY md5(text) HAVING count(*) > 1
         """,
     )
     def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact dedup: hash-groupBy on content, keep duplicate groups with
-        a deterministic representative (min doc_id)."""
+        a deterministic representative (min doc_id). Input is the corpus
+        plus deterministic seeded duplicates (id % 97) so the gate checks
+        values, not 0==0."""
         docs = load_documents(spark, sf_dir, columns=["text"])
+        seeded = docs.unionByName(
+            docs.where(F.col("doc_id").cast("bigint") % 97 == 0).select(
+                F.concat("doc_id", F.lit("_dup")).alias("doc_id"), "text"
+            )
+        )
         return (
-            docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+            seeded.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
             .agg(
                 F.count(F.lit(1)).alias("n_dups"),
                 F.min("doc_id").alias("representative"),
@@ -1485,8 +1502,18 @@ def _register_entity_canonicalization() -> None:
     ENT_CTES = (
         KG_CTES
         + """,
-entities AS (
+base_entities AS (
   SELECT subj AS entity FROM triples UNION SELECT obj FROM triples
+),
+entities AS (
+  -- the graph's entity surfaces are distinct gazetteer words, so the
+  -- corpus alone yields no aliasable pairs and the gate matched 0==0
+  -- (VERDICT r2). Both engines SEED the same derived alias per longer
+  -- surface (a plural-style variant sharing all but one shingle), so
+  -- blocking + verification + clustering are checked on real values.
+  SELECT entity FROM base_entities
+  UNION
+  SELECT entity || 's' FROM base_entities WHERE len(entity) >= 8
 ),
 ent_shingles AS (
   SELECT DISTINCT e.entity AS doc_id,
@@ -1531,11 +1558,18 @@ ent_verified AS (
 
     def _entity_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = cached_stages(spark, sf_dir)["triples"]
-        entities = (
+        base = (
             t.select(F.col("subj").alias("entity"))
             .unionByName(t.select(F.col("obj").alias("entity")))
             .distinct()
         )
+        # seeded plural-style aliases (see the entities CTE note): makes
+        # the canonicalization gates check values instead of 0==0
+        entities = base.unionByName(
+            base.where(F.length("entity") >= 8).select(
+                F.concat("entity", F.lit("s")).alias("entity")
+            )
+        ).distinct()
         idx = F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i")
         return (
             entities.select("entity", idx)
