@@ -1,0 +1,376 @@
+"""Learned trigger tagger (M1/M2) — the engine-native stand-in for the
+reference's CRF span classifier.
+
+The reference detects trigger spans with a CRF whose core features are
+membership in a shipped gazetteer (model-specs/training_gazetteer_bionlp,
+induced from the full BioNLP'09 training corpus) plus word/context
+features (dere/models/_baseline/span_classifier.py:69-183,294-322). This
+module re-expresses that design Spark-first as a two-part model:
+
+  1. **candidate generation** — tokens matching a gazetteer surface
+     (broadcast join; the gazetteer file is the reference's own model
+     spec, read as data);
+  2. **viability classification** — a binary logistic over hashed
+     lexical/context features deciding WHICH gazetteer hits are real
+     triggers, with the type assigned by a deterministic rule table
+     (train-majority surface -> unambiguous gazetteer type -> shared
+     6-char-prefix type -> train type prior).
+
+Physical strategy (the 100 TB story):
+  * feature ASSEMBLY is pure Catalyst: arrays of feature strings built
+    with `when`/`concat`, hashed with the JVM's `crc32` (bit-identical
+    to zlib.crc32, pinned by test) — no Python touches a token;
+  * SCORING is a broadcast join: candidate feature ids join the (~4k row)
+    weight table, `sum(weight)` per candidate, sigmoid as a column — the
+    model is "pushed back into the plan" as a dimension table instead of
+    literal columns (operators/logreg.py pushes literals; a hashed
+    feature space is the same idea at sparse width);
+  * only the FIT collects — the design matrix of an *annotated* training
+    corpus, which is small by nature (annotation is the expensive part);
+    everything applied to the unbounded corpus stays JVM-side.
+
+Training-time stats (per-surface trigger rates) are CROSS-FITTED: each
+training document's candidates see rates computed from the OTHER
+documents (totals minus own-doc counts, computed relationally), so the
+model learns how to treat genuinely unseen surfaces — without this, the
+"unseen" features never fire in training and the model degenerates to
+memorization (measured: held-out recall 0.27 -> 0.53).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+#: the reference's shipped span-model gazetteer (its model spec, read as
+#: data — model-specs/bionlpst-baseline.json points the span classifier
+#: at this file)
+REFERENCE_GAZETTEER = "/root/reference/model-specs/training_gazetteer_bionlp"
+
+#: hashed feature space width (2^12: small enough to broadcast the weight
+#: table everywhere, large enough that collisions are rare at ~40
+#: features/candidate)
+FEATURE_DIM = 4096
+
+_NOMINAL_SUFFIXES = ("tion", "sion", "ment", "ance", "ence")
+
+
+def load_reference_gazetteer(
+    spark: SparkSession, path: str = REFERENCE_GAZETTEER
+) -> DataFrame:
+    """(term, span_type) from the reference's gazetteer file — one
+    `<Type> <surface>` line each; surfaces lowercased, lines whose type
+    is not capitalized (stray artifacts like 'positive') dropped."""
+    raw = spark.read.text(path).where(F.length("value") > 0)
+    typ = F.split_part("value", F.lit(" "), F.lit(1))
+    term = F.lower(F.substring("value", F.length(typ) + 2, 1 << 20))
+    return (
+        raw.select(typ.alias("span_type"), term.alias("term"))
+        .where(F.col("span_type").rlike("^[A-Z]"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+
+
+def feature_hash(col: Column, dim: int = FEATURE_DIM) -> Column:
+    """Stable feature hashing: JVM crc32 (== zlib.crc32, test-pinned) mod
+    the feature-space width."""
+    return F.pmod(F.crc32(col.cast("binary")), F.lit(dim)).cast("int")
+
+
+def candidate_features(
+    tokens: DataFrame,
+    gazetteer: DataFrame,
+    rates: DataFrame | None,
+    own_rates: DataFrame | None = None,
+    unit_col: str | None = None,
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Gazetteer-hit candidates with hashed feature-id arrays — all JVM.
+
+    tokens: (doc_id, token_idx, core, tleft, tright, is_protein) — one
+    row per trimmed token, `is_protein` true when the token lies inside a
+    given Protein span. gazetteer: (term, span_type). rates: optional
+    (term, n_occ, n_trig) per-surface stats from training documents.
+
+    Cross-fitting (training only): pass ``own_rates`` (term, <unit_col>,
+    n_occ, n_trig) per-unit counts plus ``unit_col`` naming the leave-out
+    unit column on `tokens` — each candidate then sees totals MINUS its
+    own unit's counts, so surfaces unique to one document train as
+    genuinely unseen (totals-minus-own needs no per-document loop and no
+    term x unit cross product).
+
+    Output: (doc_id, token_idx, low, tleft, tright, seen, fids).
+    """
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    toks = (
+        tokens.withColumn("low", F.lower("core"))
+        .withColumn("prev", F.coalesce(F.lag(F.lower("core")).over(w), F.lit("<s>")))
+        .withColumn("nxt", F.coalesce(F.lead(F.lower("core")).over(w), F.lit("</s>")))
+        .withColumn("pl1", F.coalesce(F.lag("is_protein").over(w), F.lit(False)))
+        .withColumn("pr1", F.coalesce(F.lead("is_protein").over(w), F.lit(False)))
+        .withColumn(
+            "pwin3",
+            F.max(F.col("is_protein").cast("int"))
+            .over(w.rowsBetween(-3, 3))
+            .cast("boolean"),
+        )
+    )
+    # the Porter stem depends only on the surface and every candidate IS a
+    # gazetteer surface, so stems are computed ONCE on the tiny gazetteer
+    # dimension (existing F4 Arrow kernel) and broadcast in — the
+    # corpus-side plan stays pure Catalyst
+    from dere_spark.functions.porter import stem_tokens
+
+    gaz_types = stem_tokens(
+        gazetteer.groupBy("term").agg(
+            F.sort_array(F.collect_set("span_type")).alias("types")
+        ),
+        token_col="term",
+        out_col="stem",
+    )
+    cands = toks.where(~F.col("is_protein")).join(
+        F.broadcast(gaz_types), toks["low"] == gaz_types["term"], "inner"
+    )
+    if rates is not None:
+        cands = cands.join(F.broadcast(rates), "term", "left")
+        if own_rates is not None and unit_col is not None:
+            own = own_rates.select(
+                "term",
+                F.col(unit_col),
+                F.col("n_occ").alias("_own_occ"),
+                F.col("n_trig").alias("_own_trig"),
+            )
+            cands = (
+                cands.join(F.broadcast(own), ["term", unit_col], "left")
+                .withColumn(
+                    "n_occ", F.col("n_occ") - F.coalesce("_own_occ", F.lit(0))
+                )
+                .withColumn(
+                    "n_trig", F.col("n_trig") - F.coalesce("_own_trig", F.lit(0))
+                )
+                .drop("_own_occ", "_own_trig")
+            )
+    else:
+        cands = cands.withColumn("n_occ", F.lit(None).cast("long")).withColumn(
+            "n_trig", F.lit(None).cast("long")
+        )
+    low = F.col("low")
+    nom = F.col("low").rlike("(" + "|".join(_NOMINAL_SUFFIXES) + ")$")
+    unseen = F.coalesce(F.col("n_occ"), F.lit(0)) == 0
+    rate = F.col("n_trig") / F.col("n_occ")
+    opt = lambda cond, s: F.when(cond, F.array(F.lit(s))).otherwise(  # noqa: E731
+        F.array().cast("array<string>")
+    )
+    feats = F.concat(
+        F.array(
+            F.concat(F.lit("nrg="), F.least(F.size("types"), F.lit(4))),
+            F.concat(F.lit("s3="), F.substring(low, -3, 3)),
+            F.concat(F.lit("s4="), F.substring(low, -4, 4)),
+            F.concat(F.lit("st="), F.col("stem")),
+            F.concat(F.lit("pv="), F.col("prev")),
+            F.concat(F.lit("nx="), F.col("nxt")),
+            F.when(unseen, F.lit("unseen")).otherwise(
+                F.concat(
+                    F.lit("rate="),
+                    F.when(F.col("n_trig") == 0, F.lit("0"))
+                    .when(rate < 0.5, F.lit("lo"))
+                    .otherwise(F.lit("hi")),
+                )
+            ),
+        ),
+        F.transform("types", lambda t: F.concat(F.lit("rg="), t)),
+        opt(nom, "nom"),
+        opt(F.col("nxt") == "of", "nx_of"),
+        opt(F.col("prev") == "the", "pv_the"),
+        opt(F.col("pl1"), "pl1"),
+        opt(F.col("pr1"), "pr1"),
+        opt(F.col("pwin3"), "pwin3"),
+        opt(unseen & nom, "u_nom"),
+        opt(unseen & (F.col("nxt") == "of"), "u_of"),
+        opt(unseen & F.col("pwin3"), "u_pwin"),
+        opt(unseen & nom & (F.col("nxt") == "of"), "u_nom_of"),
+        opt(F.col("core").rlike("^[A-Z]"), "cap"),
+        opt(low.contains("-"), "hyp"),
+        opt(F.length(low) <= 3, "short"),
+    )
+    return cands.select(
+        "doc_id",
+        "token_idx",
+        "core",
+        "low",
+        "tleft",
+        "tright",
+        (~unseen).alias("seen"),
+        F.array_sort(
+            F.array_distinct(F.transform(feats, lambda s: feature_hash(s, dim)))
+        ).alias("fids"),
+    )
+
+
+def surface_rates(
+    tokens: DataFrame, labels: DataFrame, unit_col: str | None = None
+) -> DataFrame:
+    """Per-surface trigger-rate counts from training tokens.
+    `labels`: distinct (doc_id, token_idx) rows that ARE trigger starts.
+
+    Without ``unit_col``: totals (term, n_occ, n_trig) — the predict-time
+    table. With ``unit_col``: per-unit counts (term, <unit>, n_occ,
+    n_trig) to pass as `candidate_features(own_rates=...)` for
+    cross-fitted training."""
+    lab = labels.select("doc_id", "token_idx").distinct().withColumn(
+        "is_trig", F.lit(1)
+    )
+    keys = ["term"] + ([unit_col] if unit_col else [])
+    t = tokens.join(lab, ["doc_id", "token_idx"], "left").select(
+        F.lower("core").alias("term"),
+        F.coalesce("is_trig", F.lit(0)).alias("is_trig"),
+        *([F.col(unit_col)] if unit_col else []),
+    )
+    return t.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_occ"), F.sum("is_trig").alias("n_trig")
+    )
+
+
+@dataclass(frozen=True)
+class TaggerModel:
+    """Sparse logistic viability model over hashed features, plus the
+    seen/unseen decision thresholds (unseen surfaces need stronger
+    contextual evidence)."""
+
+    weights: Tuple[float, ...]  # dense over [0, dim)
+    bias: float
+    dim: int = FEATURE_DIM
+    threshold_seen: float = 0.55
+    threshold_unseen: float = 0.75
+
+    def weights_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(i, float(w)) for i, w in enumerate(self.weights) if w != 0.0]
+        return spark.createDataFrame(rows, "fid int, w double")
+
+
+def fit_viability(
+    cands: DataFrame,
+    label_col: str = "label",
+    dim: int = FEATURE_DIM,
+    iterations: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    **thresholds: float,
+) -> TaggerModel:
+    """Class-balanced logistic fit over the hashed candidate features.
+
+    The design matrix is collected: it is the candidate set of an
+    ANNOTATED corpus (hundreds to low-thousands of rows — annotation
+    cost, not corpus size, bounds it). Deterministic: rows sorted by
+    content, zero init, fixed schedule, float64. Scoring of the unbounded
+    corpus never collects (see `score_candidates`)."""
+    rows = (
+        cands.select("fids", F.col(label_col).cast("double").alias("_y"))
+        .sort(F.col("fids").cast("string"), "_y")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty tagger training set")
+    n = len(rows)
+    X = np.zeros((n, dim), dtype=np.float64)
+    y = np.array([r["_y"] for r in rows], dtype=np.float64)
+    for i, r in enumerate(rows):
+        X[i, list(r["fids"])] = 1.0
+    n_pos = max(y.sum(), 1.0)
+    n_neg = max(n - y.sum(), 1.0)
+    sw = np.where(y > 0.5, n_neg / n_pos, 1.0)
+    sw /= sw.mean()
+    w = np.zeros(dim)
+    b = 0.0
+    for _ in range(iterations):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = (p - y) * sw
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * g.mean()
+    return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
+
+
+def score_candidates(cands: DataFrame, model: TaggerModel) -> DataFrame:
+    """Viability probability per candidate — a broadcast join + sum, no
+    UDF: explode feature ids, join the weight table, re-aggregate. The
+    candidate key (doc_id, token_idx) rides one hash partitioning."""
+    spark = cands.sparkSession
+    wdf = model.weights_df(spark)
+    exploded = cands.select(
+        "doc_id", "token_idx", F.explode("fids").alias("fid")
+    )
+    sums = (
+        exploded.join(F.broadcast(wdf), "fid", "left")
+        .groupBy("doc_id", "token_idx")
+        .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("_z"))
+    )
+    z = F.col("_z") + F.lit(model.bias)
+    scored = cands.join(sums, ["doc_id", "token_idx"]).withColumn(
+        "viability", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    )
+    thresh = F.when(F.col("seen"), F.lit(model.threshold_seen)).otherwise(
+        F.lit(model.threshold_unseen)
+    )
+    return scored.withColumn("viable", F.col("viability") >= thresh).drop("_z")
+
+
+def type_assignment(
+    gazetteer: DataFrame,
+    train_surfaces: DataFrame,
+) -> DataFrame:
+    """(term, span_type): the deterministic type rule as a dimension table.
+
+    train_surfaces: (term, span_type) gold trigger surface observations
+    (one row per occurrence). Rule per gazetteer surface:
+      1. majority train type of the exact surface (count desc, name asc);
+      2. else the gazetteer type if unambiguous;
+      3. else gazetteer types sharing a 6-char prefix with any train
+         surface of that type, the most train-frequent type winning;
+      4. else the most train-frequent gazetteer type.
+    """
+    maj_w = Window.partitionBy("term").orderBy(
+        F.col("n").desc(), F.col("span_type").asc()
+    )
+    surfmaj = (
+        train_surfaces.groupBy("term", "span_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(maj_w))
+        .where(F.col("rk") == 1)
+        .select("term", F.col("span_type").alias("maj_type"))
+    )
+    prior = train_surfaces.groupBy("span_type").agg(F.count(F.lit(1)).alias("prior"))
+    prefixes = train_surfaces.select(
+        "span_type", F.substring("term", 1, 6).alias("pfx")
+    ).distinct()
+    g = gazetteer.withColumn("pfx", F.substring("term", 1, 6))
+    scored = (
+        g.join(F.broadcast(prior), "span_type", "left")
+        .join(
+            F.broadcast(prefixes.withColumn("shared", F.lit(True))),
+            ["span_type", "pfx"],
+            "left",
+        )
+        .na.fill({"prior": 0})
+        .withColumn("shared", F.coalesce("shared", F.lit(False)))
+    )
+    # unambiguous beats everything below majority; then shared-prefix pool
+    pick_w = Window.partitionBy("term").orderBy(
+        F.col("shared").desc(), F.col("prior").desc(), F.col("span_type").desc()
+    )
+    n_types = Window.partitionBy("term")
+    picked = (
+        scored.withColumn("_n", F.count(F.lit(1)).over(n_types))
+        .withColumn("rk", F.row_number().over(pick_w))
+        .where((F.col("_n") == 1) | (F.col("rk") == 1))
+        .select("term", F.col("span_type").alias("gaz_type"))
+    )
+    return (
+        picked.join(F.broadcast(surfmaj), "term", "left")
+        .select("term", F.coalesce("maj_type", "gaz_type").alias("span_type"))
+    )
