@@ -117,3 +117,43 @@ def shortest_dep_paths(edges: DataFrame, pairs: DataFrame) -> DataFrame:
         f"group_id {gtype}, from_idx int, to_idx int, path_len int, "
         "path_labels string",
     )
+
+
+def span_shortest_paths(edges: DataFrame, span_pairs: DataFrame) -> DataFrame:
+    """Reference `edge_distance`/`get_shortest_path` semantics
+    (slot_classifier.py:639-704): spans are SETS of token nodes, the
+    span-pair distance is the MIN over all token pairs, ties broken by
+    the first pair in iteration order (token1 outer, token2 inner, both
+    in document order — nx `shortest_path` is replaced only on strictly
+    shorter paths).
+
+    span_pairs: (group_id, pair_id, from_idxs:array<int>, to_idxs:array<int>).
+    Returns (group_id, pair_id, path_len, path_labels) with -1/'' when no
+    token pair connects — a relational composition over the per-token BFS
+    kernel: explode both sides, answer distinct token queries once, then
+    min-pick per pair with a window."""
+    from pyspark.sql import Window
+
+    exploded = span_pairs.select(
+        "group_id",
+        "pair_id",
+        F.explode("from_idxs").alias("from_idx"),
+        F.col("to_idxs"),
+    ).select(
+        "group_id", "pair_id", "from_idx", F.explode("to_idxs").alias("to_idx")
+    )
+    answers = shortest_dep_paths(
+        edges, exploded.select("group_id", "from_idx", "to_idx").distinct()
+    )
+    joined = exploded.join(answers, ["group_id", "from_idx", "to_idx"])
+    pick = Window.partitionBy("group_id", "pair_id").orderBy(
+        (F.col("path_len") < 0).cast("int"),
+        "path_len",
+        "from_idx",
+        "to_idx",
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select("group_id", "pair_id", "path_len", "path_labels")
+    )
