@@ -55,7 +55,13 @@ def cmd_predict(args) -> int:
     train = load_brat(spark, args.corpus_train or args.corpus, spec)
     gaz = induce_trigger_gazetteer_filtered(train, args.min_trigger_precision)
     corpus = load_brat(spark, args.corpus, spec, load_gold=False)
-    hypo = predicted_corpus(spark, corpus, spec, gaz)
+    triggers = None
+    if getattr(args, "tagger", False):
+        from dere_spark.bionlp import detect_triggers_tagged, train_trigger_tagger
+
+        model, ttable, rates, ref_gaz = train_trigger_tagger(spark, train)
+        triggers = detect_triggers_tagged(corpus, model, ttable, rates, ref_gaz)
+    hypo = predicted_corpus(spark, corpus, spec, gaz, triggers=triggers)
     os.makedirs(args.out, exist_ok=True)
     for row in dump_brat(hypo, just_predictions=True).collect():
         with open(os.path.join(args.out, f"{row['doc_id']}.a2"), "w") as f:
@@ -146,6 +152,11 @@ def main(argv=None) -> int:
                     help="corpus to induce the gazetteer from (default: --corpus)")
     pp.add_argument("--out", required=True)
     pp.add_argument("--min-trigger-precision", type=float, default=0.2)
+    pp.add_argument(
+        "--tagger", action="store_true", default=False,
+        help="use the learned viability tagger (reference-gazetteer "
+        "candidates) instead of the induced-gazetteer trigger stage",
+    )
     pp.set_defaults(fn=cmd_predict)
 
     px = sub.add_parser("extract", help="webtext KG extraction -> triples table")

@@ -206,11 +206,14 @@ def extract_frames(
 def predicted_corpus(
     spark: SparkSession, corpus: Dict[str, DataFrame], spec: TaskSpecification,
     gazetteer: DataFrame,
+    triggers: DataFrame | None = None,
 ) -> Dict[str, DataFrame]:
     """Full predict path: given spans kept, gold stripped, triggers +
     frames predicted — the Model.evaluate contract (clone -> strip_gold ->
-    predict, dere/models/_model.py:56-60)."""
-    triggers = detect_triggers(corpus, gazetteer)
+    predict, dere/models/_model.py:56-60). ``triggers`` overrides the
+    gazetteer trigger stage (the learned-tagger CLI path)."""
+    if triggers is None:
+        triggers = detect_triggers(corpus, gazetteer)
     trigger_spans = triggers.select(
         "doc_id", "instance_idx",
         F.concat_ws(":", F.lit("PT"), "instance_idx", "left", "right").alias("tag"),
