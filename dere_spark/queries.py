@@ -1977,6 +1977,75 @@ def _register_deppath() -> None:
 _register_deppath()
 
 
+def _register_span_paths() -> None:
+    from dere_spark.operators.deppath import span_shortest_paths
+
+    @register(
+        "graph_span_paths",
+        """
+        -- span-level min semantics (reference edge_distance): start from
+        -- BOTH of the two deepest heap nodes {n-1, n}, keep the shorter
+        -- ancestor climb, ties to the smaller start index
+        WITH RECURSIVE sz AS (
+          SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        starts AS (
+          SELECT user_id, CAST(n AS INT) AS s FROM sz
+          UNION ALL
+          SELECT user_id, CAST(n - 1 AS INT) FROM sz WHERE n >= 2
+        ),
+        climb AS (
+          SELECT user_id, s AS node, s AS from_idx,
+                 CAST('' AS VARCHAR) AS acc, 0 AS steps
+          FROM starts
+          UNION ALL
+          SELECT user_id, node // 2, from_idx,
+                 CASE WHEN acc = '' THEN 'c' || CAST(node % 2 AS VARCHAR)
+                      ELSE acc || '/' || 'c' || CAST(node % 2 AS VARCHAR) END,
+                 steps + 1
+          FROM climb WHERE node > 1
+        )
+        SELECT group_id, 'tail' AS pair_id, CAST(steps AS INT) AS path_len,
+               acc AS path_labels
+        FROM (
+          SELECT user_id AS group_id, steps, acc,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY steps, from_idx) AS rk
+          FROM climb WHERE node = 1
+        ) WHERE rk = 1
+        """,
+    )
+    def q_graph_span_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """span_shortest_paths (reference slot_classifier edge_distance
+        semantics: multi-token spans, min over token pairs, deterministic
+        tie order) over the same heap-forest edges as graph_shortest_path:
+        the 'span' is the two deepest nodes of each user's tree."""
+        from pyspark.sql import Window as W
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        nodes = ev.withColumn("idx", F.row_number().over(w))
+        edges = nodes.where(F.col("idx") >= 2).select(
+            F.col("user_id").alias("group_id"),
+            F.col("idx").alias("src"),
+            F.floor(F.col("idx") / 2).cast("int").alias("dst"),
+            F.concat(F.lit("c"), (F.col("idx") % 2).cast("string")).alias("label"),
+        )
+        mx = F.max("idx").cast("int")
+        span_pairs = nodes.groupBy(F.col("user_id").alias("group_id")).agg(
+            F.filter(F.array((mx - 1), mx), lambda x: x >= 1).alias("from_idxs")
+        ).select(
+            "group_id",
+            F.lit("tail").alias("pair_id"),
+            F.col("from_idxs").cast("array<int>"),
+            F.array(F.lit(1)).cast("array<int>").alias("to_idxs"),
+        )
+        return span_shortest_paths(edges, span_pairs)
+
+
+_register_span_paths()
+
+
 def _register_skew() -> None:
     from dere_spark.operators.skew import salted_count
 

@@ -159,6 +159,20 @@ def test_sql_variant_fidelity_and_parity_on_corpus(spark, sf_dir):
     assert _stream(sql_toks) == _stream(tokenize_treebank(docs))
 
 
+def test_sql_variant_parallelism_invariant(spark, sf_dir):
+    """The scaling criterion's correctness half: identical token streams
+    regardless of input partitioning (offsets are derived from token_idx
+    and per-word prefix sums, never from physical row order)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(30)
+        .selectExpr("doc_id", "text || ' don\\'t stop (now)!' AS text")
+    )
+    a = _stream(tokenize_treebank_sql(docs.repartition(1)))
+    b = _stream(tokenize_treebank_sql(docs.repartition(8, "doc_id")))
+    assert a == b
+
+
 def test_fidelity_on_corpus_sample(spark, sf_dir):
     """substring(text, left+1, right-left) == token on real documents."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
