@@ -105,6 +105,10 @@ def main() -> None:
         "rows": counts,
         "docs_per_sec": docs_sec,
         "triples_per_sec": triples_sec,
+        # r3: the pipeline front door is Treebank segmentation (the
+        # correct tokenizer for web text; ~15-30% warm flagship cost vs
+        # the whitespace splitter on this space-separated corpus)
+        "tokenizer": "treebank",
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
