@@ -154,6 +154,22 @@ def near_dup_clusters(verified: DataFrame, threshold: float = 0.8) -> DataFrame:
     return connected_components(edges)
 
 
+def filter_near_dups(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup END-USE: drop every cluster member except its
+    representative (the component label, i.e. the min id — deterministic
+    across parallelism). Docs in no cluster pass through.
+
+    Anti-join shape: the loser list is tiny relative to the corpus (only
+    near-dup non-representatives), so at scale this is a broadcast
+    anti-join against the full corpus scan — no corpus shuffle."""
+    losers = clusters.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

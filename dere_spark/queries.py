@@ -905,6 +905,42 @@ def _register_dedup() -> None:
         return near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
 
     @register(
+        "dedup_filtered_corpus",
+        SHINGLE_CTES.replace("WITH raw_tokens", "WITH RECURSIVE raw_tokens", 1)
+        + """,
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM verified WHERE jaccard >= 0.8),
+        nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT e.x, reach.r FROM reach
+          JOIN (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b, a FROM edges) e
+            ON e.y = reach.node
+        ),
+        losers AS (
+          SELECT node FROM (SELECT node, min(r) AS component FROM reach GROUP BY node)
+          WHERE node != component
+        )
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id
+        FROM documents d LEFT JOIN losers l ON CAST(d.doc_id AS VARCHAR) = l.node
+        WHERE l.node IS NULL
+        """,
+    )
+    def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The dedup END-USE a training-data pipeline actually runs:
+        corpus minus near-dup cluster non-representatives (keep the
+        component-min doc, pass untouched docs through). Broadcast
+        anti-join of the tiny loser list against the corpus scan."""
+        from dere_spark.operators.dedup import filter_near_dups
+
+        sh = _shingles(spark, sf_dir)
+        sigs = minhash_signatures(sh, num_hashes=16)
+        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
+        docs = load_documents(spark, sf_dir, columns=[]).select("doc_id")
+        return filter_near_dups(docs, clusters)
+
+    @register(
         "dedup_clusters_star",
         SHINGLE_CTES.replace("WITH raw_tokens", "WITH RECURSIVE raw_tokens", 1)
         + """,
