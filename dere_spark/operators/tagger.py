@@ -253,6 +253,12 @@ class TaggerModel:
         return spark.createDataFrame(rows, "fid int, w double")
 
 
+#: above this many candidate rows, fit_viability auto-dispatches to the
+#: distributed sparse fit (same auto-dispatch contract as the dense
+#: logreg learner)
+DISTRIBUTED_FIT_THRESHOLD = 50_000
+
+
 def fit_viability(
     cands: DataFrame,
     label_col: str = "label",
@@ -260,15 +266,25 @@ def fit_viability(
     iterations: int = 300,
     lr: float = 0.5,
     l2: float = 1e-4,
+    distributed: bool | None = None,
     **thresholds: float,
 ) -> TaggerModel:
     """Class-balanced logistic fit over the hashed candidate features.
 
-    The design matrix is collected: it is the candidate set of an
-    ANNOTATED corpus (hundreds to low-thousands of rows — annotation
-    cost, not corpus size, bounds it). Deterministic: rows sorted by
-    content, zero init, fixed schedule, float64. Scoring of the unbounded
-    corpus never collects (see `score_candidates`)."""
+    ``distributed=None`` auto-dispatches: above
+    DISTRIBUTED_FIT_THRESHOLD rows the sparse distributed fit runs (no
+    training row reaches the driver); below it the design matrix is
+    collected — the candidate set of an ANNOTATED corpus is small by
+    nature (annotation cost, not corpus size, bounds it). Deterministic
+    either way: rows sorted by content, zero init, fixed schedule,
+    float64. Scoring of the unbounded corpus never collects
+    (see `score_candidates`)."""
+    if distributed is None:
+        distributed = cands.count() > DISTRIBUTED_FIT_THRESHOLD
+    if distributed:
+        return fit_viability_distributed(
+            cands, label_col, dim, iterations, lr, l2, **thresholds
+        )
     rows = (
         cands.select("fids", F.col(label_col).cast("double").alias("_y"))
         .sort(F.col("fids").cast("string"), "_y")
@@ -293,6 +309,124 @@ def fit_viability(
         g = (p - y) * sw
         w -= lr * (X.T @ g / n + l2 * w)
         b -= lr * g.mean()
+    return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
+
+
+def fit_viability_distributed(
+    cands: DataFrame,
+    label_col: str = "label",
+    dim: int = FEATURE_DIM,
+    iterations: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    num_buckets: int = 64,
+    **thresholds: float,
+) -> TaggerModel:
+    """Sparse distributed GD — the scale path: no training row reaches
+    the driver; per iteration only ≤ dim gradient scalars do.
+
+    Physical shape per iteration (all JVM, whole-stage codegen):
+      * z per candidate: broadcast-join the current (fid, w) table onto
+        the EXPLODED feature rows (cached, pre-partitioned by row key),
+        then an in-partition re-aggregation — exchange paid once at
+        cache time, not per iteration. The per-row sum folds a
+        fid-sorted struct array, so it is bit-deterministic regardless
+        of join arrival order;
+      * gradient per feature: residual × class-weight joined back to the
+        exploded rows, partial sums per (fid, content-bucket), then an
+        ordered fold over bucket partials — the dense learner's
+        determinism recipe (operators/logreg.py) at sparse width. The
+        driver folds ≤ dim rows.
+
+    Weights are bit-identical across parallelism levels for fixed
+    num_buckets; parity with the collect-based fit is ~1e-9 (float
+    summation order only), pinned by test."""
+    key = ["doc_id", "token_idx"]
+    base = cands.select(
+        *key, "fids", F.col(label_col).cast("double").alias("_y")
+    ).withColumn(
+        "_b", F.pmod(F.xxhash64(*key), F.lit(num_buckets)).cast("int")
+    )
+    exploded = (
+        base.select(*key, "_y", "_b", F.explode("fids").alias("fid"))
+        .repartition(num_buckets, *key)
+        .persist()
+    )
+    spark = cands.sparkSession
+    try:
+        head = exploded.groupBy(*key).agg(F.first("_y").alias("_y")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+        ).first()
+        n = int(head["n"])
+        if n == 0:
+            raise ValueError("empty tagger training set")
+        n_pos = max(float(head["n_pos"] or 0.0), 1.0)
+        n_neg = max(float(n) - float(head["n_pos"] or 0.0), 1.0)
+        sw_pos_raw = n_neg / n_pos
+        mean_w = (n_pos * sw_pos_raw + n_neg * 1.0) / n
+        sw_pos = sw_pos_raw / mean_w
+        sw_neg = 1.0 / mean_w
+
+        w = np.zeros(dim)
+        b = 0.0
+        for _ in range(iterations):
+            wdf = spark.createDataFrame(
+                [(i, float(x)) for i, x in enumerate(w) if x != 0.0] or [(0, 0.0)],
+                "fid int, w double",
+            )
+            # deterministic per-row z: fold a fid-sorted struct array
+            zcol = F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("fid", F.coalesce("w", F.lit(0.0)).alias("w")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["w"],
+            )
+            rows = (
+                exploded.join(F.broadcast(wdf), "fid", "left")
+                .groupBy(*key)
+                .agg(
+                    zcol.alias("_z"),
+                    F.first("_y").alias("_y"),
+                    F.first("_b").alias("_rb"),
+                )
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + F.lit(float(b)))))
+            g = (p - F.col("_y")) * F.when(
+                F.col("_y") > 0.5, F.lit(sw_pos)
+            ).otherwise(F.lit(sw_neg))
+            resid = rows.select(*key, F.col("_rb").alias("_b"), g.alias("_g"))
+            # gradient per fid: partial sums per content bucket, then an
+            # ordered fold over bucket partials (bit-deterministic)
+            grads = (
+                exploded.select(*key, "fid")
+                .join(resid, key)
+                .groupBy("fid", "_b")
+                .agg(F.sum("_g").alias("_s"))
+                .groupBy("fid")
+                .agg(
+                    F.aggregate(
+                        F.sort_array(F.collect_list(F.struct("_b", "_s"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_s"],
+                    ).alias("_gsum")
+                )
+                .collect()
+            )
+            bias_parts = sorted(
+                resid.groupBy("_b").agg(F.sum("_g").alias("_s")).collect(),
+                key=lambda r: r["_b"],
+            )
+            grad_w = np.zeros(dim)
+            for r in grads:
+                grad_w[r["fid"]] = r["_gsum"]
+            sum_g = 0.0
+            for r in bias_parts:
+                sum_g += r["_s"]
+            w = w - lr * (grad_w / n + l2 * w)
+            b = b - lr * (sum_g / n)
+    finally:
+        exploded.unpersist()
     return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
 
 

@@ -129,3 +129,45 @@ def test_tagged_path_beats_gazetteer_held_out(spark):
     r = run_bionlp_eval_tagged(spark, TRAIN_DIR, TEST_DIR)
     assert r.fscore("span") >= 0.47, r.fscore("span")
     assert r.fscore("frame") >= 0.12, r.fscore("frame")
+
+
+def _synthetic_cands(spark, n=200):
+    import zlib
+
+    from dere_spark.operators.tagger import FEATURE_DIM
+
+    rows = []
+    for i in range(n):
+        feats = [f"w=tok{i % 37}", f"s3={i % 11}", f"rg=T{i % 5}"]
+        if i % 3 == 0:
+            feats.append("pwin3")
+        fids = sorted({zlib.crc32(s.encode()) % FEATURE_DIM for s in feats})
+        rows.append((f"d{i % 7}", i, fids, 1 if (i % 37) < 6 and i % 3 == 0 else 0))
+    return spark.createDataFrame(
+        rows, "doc_id string, token_idx int, fids array<int>, label int"
+    )
+
+
+def test_fit_viability_distributed_parity(spark):
+    """The sparse distributed fit equals the collect-based fit to float
+    summation order (~1e-9) — same recipe the dense logreg learner pins."""
+    import numpy as np
+
+    from dere_spark.operators.tagger import fit_viability, fit_viability_distributed
+
+    cands = _synthetic_cands(spark)
+    local = fit_viability(cands, distributed=False, iterations=5)
+    dist = fit_viability_distributed(cands, iterations=5)
+    assert np.allclose(local.weights, dist.weights, atol=1e-9)
+    assert abs(local.bias - dist.bias) < 1e-9
+
+
+def test_fit_viability_distributed_parallelism_invariant(spark):
+    """Bit-identical weights regardless of input partitioning (content
+    buckets + ordered folds, the scaling criterion's correctness half)."""
+    from dere_spark.operators.tagger import fit_viability_distributed
+
+    cands = _synthetic_cands(spark)
+    a = fit_viability_distributed(cands.repartition(2), iterations=3)
+    b = fit_viability_distributed(cands.repartition(16, "token_idx"), iterations=3)
+    assert a.weights == b.weights and a.bias == b.bias
