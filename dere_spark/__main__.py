@@ -128,6 +128,17 @@ def cmd_score_legacy(args) -> int:
     return 0
 
 
+def cmd_build(args) -> int:
+    # the reference's `build` step (dere/__main__.py:105-129): no Spark
+    # session needed — spec parsing + gazetteer load + artifact write
+    from dere_spark.plans.models import build_bare_model
+
+    manifest = build_bare_model(args.task_spec, args.model_spec, args.outfile)
+    print(f"built bare {manifest['metadata']['model_type']} model at "
+          f"{args.outfile} ({manifest['payload_md5']})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -138,6 +149,14 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="dere_spark")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser(
+        "build", help="task spec + model spec -> bare (untrained) model"
+    )
+    pc.add_argument("--task-spec", required=True)
+    pc.add_argument("--model-spec", required=True)
+    pc.add_argument("--outfile", default="bare_model")
+    pc.set_defaults(fn=cmd_build)
 
     pe = sub.add_parser("evaluate", help="reference-format P/R/F report")
     pe.add_argument("--spec", required=True)

@@ -78,3 +78,70 @@ def load_model(path: str, expected_class: Optional[str] = None) -> Tuple[Any, Di
         )
     resolve_class(manifest["model_class"])  # import side effects / validation
     return pickle.loads(payload), manifest
+
+
+def load_model_spec(path: str) -> Dict:
+    """Model-spec JSON scan (S10) — the reference's model_spec reader
+    (dere/__main__.py:118-127): parse the JSON and record ``__path__``
+    so relative resources (e.g. the span classifier's gazetteer file)
+    resolve relative to the spec file's directory."""
+    with open(path) as f:
+        spec = json.load(f)
+    spec["__path__"] = path
+    return spec
+
+
+def model_spec_resource(spec: Dict, name: str) -> str:
+    """Resolve a resource named in a model spec relative to the spec
+    file's location (absolute paths pass through)."""
+    if os.path.isabs(name):
+        return name
+    return os.path.join(os.path.dirname(os.path.abspath(spec["__path__"])), name)
+
+
+def build_bare_model(task_spec_path: str, model_spec_path: str, out_dir: str) -> Dict:
+    """The reference's `build` lifecycle step (dere/__main__.py:105-129):
+    task spec + model spec -> INITIALIZED-but-untrained model artifact.
+
+    For the baseline model spec (model_type BaselineModel) initialization
+    means loading the span classifier's gazetteer file — the artifact is a
+    ready-to-tag GazetteerTagger plus the spec lineage in metadata."""
+    from collections import defaultdict
+
+    from dere_spark.operators.kernels import GazetteerTagger
+    from dere_spark.taskspec import load_task_spec
+
+    load_task_spec(task_spec_path)  # validates; spec travels as metadata
+    spec = load_model_spec(model_spec_path)
+    gaz_name = (
+        spec.get("params", {}).get("span_classifier", {}).get("gazetteer")
+    )
+    gazetteers: Dict[str, list] = defaultdict(list)
+    gaz_path = None
+    if gaz_name:
+        gaz_path = model_spec_resource(spec, gaz_name)
+        with open(gaz_path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                typ, surf = line.split(" ", 1)
+                if typ[:1].isupper():
+                    gazetteers[typ].append(surf.lower())
+    model = GazetteerTagger(
+        tuple(
+            (typ, tuple(sorted(set(terms))))
+            for typ, terms in sorted(gazetteers.items())
+        )
+    )
+    return save_model(
+        model,
+        out_dir,
+        metadata={
+            "lifecycle": "bare",
+            "model_type": spec.get("model_type"),
+            "task_spec": os.path.abspath(task_spec_path),
+            "model_spec": os.path.abspath(model_spec_path),
+            "gazetteer": gaz_path,
+        },
+    )

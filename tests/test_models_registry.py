@@ -75,3 +75,28 @@ def test_learned_nested_save_load_predict(spark, tmp_path):
     hypo = predict_learned_nested(spark, loaded, "/root/reference/tutorial/data/test")
     assert hypo["frames"].count() > 0
     assert hypo["spans"].where("source = 'predicted'").count() > 0
+
+
+def test_build_bare_model_from_reference_specs(tmp_path):
+    """The reference's `build` lifecycle step (dere/__main__.py:105-129):
+    task spec + model spec -> initialized-but-untrained artifact. The
+    baseline model spec's gazetteer resolves relative to the spec file
+    and the artifact tags gazetteer surfaces immediately."""
+    import pandas as pd
+
+    from dere_spark.plans.models import build_bare_model, load_model
+
+    out = str(tmp_path / "bare")
+    manifest = build_bare_model(
+        "/root/reference/task-specs/bionlpst.xml",
+        "/root/reference/model-specs/bionlpst-baseline.json",
+        out,
+    )
+    assert manifest["metadata"]["lifecycle"] == "bare"
+    assert manifest["metadata"]["model_type"] == "BaselineModel"
+    model, mf = load_model(out)
+    assert mf["payload_md5"] == manifest["payload_md5"]
+    gaz = dict(model.gazetteers)
+    assert "bound" in gaz["Binding"]
+    tags = list(model.tag(pd.Series(["bound", "xyzzy"])))
+    assert tags == ["B-Binding", "O"]
