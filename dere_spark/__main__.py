@@ -52,11 +52,22 @@ def cmd_predict(args) -> int:
 
     spark = _spark(args.cpus)
     spec = load_task_spec(args.spec)
-    train = load_brat(spark, args.corpus_train or args.corpus, spec)
-    gaz = induce_trigger_gazetteer_filtered(train, args.min_trigger_precision)
     corpus = load_brat(spark, args.corpus, spec, load_gold=False)
+    if getattr(args, "model_dir", None):
+        # built artifact path: build -> predict, no training corpus needed
+        from dere_spark.bionlp import gazetteer_from_model
+        from dere_spark.plans.models import load_model
+
+        model, _ = load_model(args.model_dir)
+        gaz = gazetteer_from_model(spark, model)
+        train = None
+    else:
+        train = load_brat(spark, args.corpus_train or args.corpus, spec)
+        gaz = induce_trigger_gazetteer_filtered(train, args.min_trigger_precision)
     triggers = None
     if getattr(args, "tagger", False):
+        if train is None:
+            raise SystemExit("--tagger needs a training corpus, not --model-dir")
         from dere_spark.bionlp import detect_triggers_tagged, train_trigger_tagger
 
         model, ttable, rates, ref_gaz = train_trigger_tagger(spark, train)
@@ -171,6 +182,11 @@ def main(argv=None) -> int:
                     help="corpus to induce the gazetteer from (default: --corpus)")
     pp.add_argument("--out", required=True)
     pp.add_argument("--min-trigger-precision", type=float, default=0.2)
+    pp.add_argument(
+        "--model-dir", default=None,
+        help="use a built model artifact (see `build`) for the trigger "
+        "stage instead of inducing a gazetteer from --corpus-train",
+    )
     pp.add_argument(
         "--tagger", action="store_true", default=False,
         help="use the learned viability tagger (reference-gazetteer "

@@ -92,6 +92,19 @@ def instance_core_tokens(corpus: Dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def gazetteer_from_model(spark: SparkSession, model) -> DataFrame:
+    """(term, span_type) dimension from a built GazetteerTagger artifact
+    (plans/models.build_bare_model). Multi-type surfaces collapse to the
+    alphabetically last type — exactly the artifact's own `tag` rule
+    (later gazetteers overwrite earlier ones), so the relational path
+    and the Arrow kernel agree."""
+    rows = [
+        (term, typ) for typ, terms in model.gazetteers for term in terms
+    ]
+    df = spark.createDataFrame(rows, "term string, span_type string")
+    return df.groupBy("term").agg(F.max("span_type").alias("span_type"))
+
+
 def detect_triggers(corpus: Dict[str, DataFrame], gazetteer: DataFrame) -> DataFrame:
     """Token-level trigger detection over BRAT instances (gazetteer
     membership path). Returns spans in the corpus's span shape:

@@ -100,3 +100,22 @@ def test_build_bare_model_from_reference_specs(tmp_path):
     assert "bound" in gaz["Binding"]
     tags = list(model.tag(pd.Series(["bound", "xyzzy"])))
     assert tags == ["B-Binding", "O"]
+
+
+def test_gazetteer_from_model_matches_tag_rule(spark, tmp_path):
+    """The relational gazetteer derived from a built artifact must agree
+    with the artifact's own tag() rule on multi-type surfaces (later
+    gazetteers overwrite earlier ones -> alphabetically last type)."""
+    import pandas as pd
+
+    from dere_spark.bionlp import gazetteer_from_model
+    from dere_spark.operators.kernels import GazetteerTagger
+
+    model = GazetteerTagger((
+        ("Binding", ("bound", "shared")),
+        ("Transcription", ("shared", "levels")),
+    ))
+    gaz = {r["term"]: r["span_type"] for r in gazetteer_from_model(spark, model).collect()}
+    assert gaz == {"bound": "Binding", "shared": "Transcription", "levels": "Transcription"}
+    tags = list(model.tag(pd.Series(["shared", "bound", "nope"])))
+    assert tags == ["B-Transcription", "B-Binding", "O"]
