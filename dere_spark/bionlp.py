@@ -784,10 +784,19 @@ def run_bionlp_eval_nested(
     if triggers is None:
         triggers = detect_triggers(gold, gaz)
     frame_tag_expr = F.concat_ws(":", F.lit("P"), "instance_idx", "left", "right", "span_type")
-    anchors = triggers.select(
+    # Only span types that anchor a declared frame become frames (the
+    # reference only instantiates frames for schema frame types,
+    # dere/taskspec.py frame defs): a tagged `Entity` span is a span
+    # prediction, never an event — emitting a frame for it is a
+    # guaranteed frame-level fp.
+    frame_type_names = sorted(ft.name for ft in spec.frame_types)
+    if "score" not in triggers.columns:
+        triggers = triggers.withColumn("score", F.lit(None).cast("double"))
+    anchors = triggers.where(F.col("span_type").isin(*frame_type_names)).select(
         "doc_id", "instance_idx",
         F.col("span_type").alias("anchor_type"),
         F.col("left").alias("a_left"), F.col("right").alias("a_right"),
+        F.col("score").alias("a_score"),
     )
     protein_cands = gold["spans"].where(
         (F.col("source") == "given") & (F.col("span_type") == "Protein")
@@ -797,13 +806,16 @@ def run_bionlp_eval_nested(
         F.col("tag").alias("filler_tag"),
         F.lit("span").alias("filler_kind"),
     )
-    frame_cands = triggers.select(
+    frame_cands = triggers.where(F.col("span_type").isin(*frame_type_names)).select(
         "doc_id", "instance_idx",
         F.col("left").alias("f_left"), F.col("right").alias("f_right"),
         frame_tag_expr.alias("filler_tag"),
         F.lit("frame").alias("filler_kind"),
+        F.col("span_type").alias("f_anchor_type"),
     )
-    cands = protein_cands.unionByName(frame_cands)
+    cands = protein_cands.withColumn(
+        "f_anchor_type", F.lit(None).cast("string")
+    ).unionByName(frame_cands)
 
     pref_rows = [(t, k) for t, k in sorted(pref.items())]
     pref_df = spark.createDataFrame(pref_rows, "anchor_type string, pref_kind string")
@@ -825,14 +837,94 @@ def run_bionlp_eval_nested(
         )
         .where(F.col("char_distance") <= max_dist)
     )
-    w = Window.partitionBy(
-        "doc_id", "instance_idx", "a_left", "a_right", "anchor_type"
-    ).orderBy(
+    # ---- coverage promotion (stage-B attachment) -------------------------
+    # BioNLP gold attaches a regulation to the EVENT mediating a protein,
+    # not the protein itself, whenever such an event exists ("enhanced
+    # [IL-2R expression]" -> Theme: Gene_expression(IL-2R), never Theme:
+    # IL-2R). Relational two-pass form: first pass picks every anchor's
+    # nearest span filler; a frame candidate is then "covering" iff its
+    # own first-pass span theme equals this anchor's nearest span. A
+    # covering frame outranks the kind preference — it is direct evidence
+    # the protein's involvement is mediated. Everything is a window/join
+    # over the same (doc_id, instance_idx) keys; no iteration, no UDF.
+    anchor_key = ["doc_id", "instance_idx", "a_left", "a_right", "anchor_type"]
+    w_span = Window.partitionBy(*anchor_key).orderBy(
+        F.col("char_distance").asc(), F.col("f_left").asc()
+    )
+    span_best = (
+        pairs.where(F.col("filler_kind") == "span")
+        .withColumn("_srk", F.row_number().over(w_span))
+        .where(F.col("_srk") == 1)
+        .select(*anchor_key, F.col("f_left").alias("s_left"), F.col("f_right").alias("s_right"))
+    )
+    own_span = span_best.select(
+        *anchor_key,
+        F.col("s_left").alias("_own_sl"), F.col("s_right").alias("_own_sr"),
+    )
+    filler_span = span_best.select(
+        "doc_id", "instance_idx",
+        F.col("a_left").alias("f_left"), F.col("a_right").alias("f_right"),
+        F.col("anchor_type").alias("f_anchor_type"),
+        F.col("s_left").alias("_fil_sl"), F.col("s_right").alias("_fil_sr"),
+    )
+    pairs = (
+        pairs.join(own_span, anchor_key, "left")
+        .join(filler_span, ["doc_id", "instance_idx", "f_left", "f_right", "f_anchor_type"], "left")
+        .withColumn(
+            "covers",
+            F.coalesce(
+                (F.col("filler_kind") == "frame")
+                & (F.col("_fil_sl") == F.col("_own_sl"))
+                & (F.col("_fil_sr") == F.col("_own_sr")),
+                F.lit(False),
+            ),
+        )
+    )
+    # Contention: at most ONE parent per child frame, else every covering
+    # anchor grabs the same child and the merged component can no longer
+    # be isomorphic to gold's small parent->child chains. Ordering is
+    # train-derived: anchor types whose learned theme-kind preference is
+    # already "frame" (the majority-frame-theme regulation types) are the
+    # most plausible event-parents; then the more confident tagger score;
+    # then the nearest. Losers keep their normal preference ordering.
+    w_fill = Window.partitionBy("doc_id", "instance_idx", "filler_tag").orderBy(
+        (~F.col("covers")).cast("int"),
+        (F.coalesce(F.col("pref_kind"), F.lit("span")) != "frame").cast("int"),
+        F.col("a_score").desc_nulls_last(),
+        F.col("char_distance").asc(),
+        F.col("a_left").asc(),
+    )
+    pairs = pairs.withColumn(
+        "covers", F.col("covers") & (F.row_number().over(w_fill) == 1)
+    )
+    w = Window.partitionBy(*anchor_key).orderBy(
+        (~F.col("covers")).cast("int"),
         (F.col("filler_kind") != F.coalesce(F.col("pref_kind"), F.lit("span"))).cast("int"),
         F.col("char_distance").asc(),
         F.col("f_left").asc(),
         F.col("filler_kind").asc(),
     )
+    # Single-level promotion: a frame that ITSELF promotes (its covers
+    # edge won contention) stops being covering evidence for its stale
+    # first-pass protein — chained promotion compounds tagger errors
+    # multiplicatively, and under CC-isomorphism scoring one wrongly
+    # promoted parent destroys its entire subtree's component. Clearing
+    # covers on promoted fillers bounds the blast radius to one level
+    # and makes the promotion edge set a star forest (provably acyclic:
+    # every surviving edge's child has no covers edge of its own).
+    promoted = (
+        pairs.where(F.col("covers"))
+        .select(
+            "doc_id", "instance_idx",
+            F.col("a_left").alias("f_left"), F.col("a_right").alias("f_right"),
+            F.col("anchor_type").alias("f_anchor_type"),
+        )
+        .distinct()
+        .withColumn("_fprom", F.lit(True))
+    )
+    pairs = pairs.join(
+        promoted, ["doc_id", "instance_idx", "f_left", "f_right", "f_anchor_type"], "left"
+    ).withColumn("covers", F.col("covers") & F.col("_fprom").isNull())
     best = pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     best = best.withColumn("frame_type", F.col("anchor_type"))
     my_tag = F.concat_ws(":", F.lit("P"), "instance_idx", "a_left", "a_right", "frame_type")
@@ -1579,6 +1671,7 @@ def detect_triggers_tagged(
         F.col("tright").alias("right"),
         F.col("core").alias("text"),
         F.lit("predicted").alias("source"),
+        F.col("viability").alias("score"),
     )
 
 
