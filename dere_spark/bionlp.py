@@ -849,7 +849,7 @@ def run_bionlp_eval_nested(
     # over the same (doc_id, instance_idx) keys; no iteration, no UDF.
     anchor_key = ["doc_id", "instance_idx", "a_left", "a_right", "anchor_type"]
     w_span = Window.partitionBy(*anchor_key).orderBy(
-        F.col("char_distance").asc(), F.col("f_left").asc()
+        F.col("char_distance").asc(), F.col("f_left").asc(), F.col("f_right").asc()
     )
     span_best = (
         pairs.where(F.col("filler_kind") == "span")
@@ -893,6 +893,8 @@ def run_bionlp_eval_nested(
         F.col("a_score").desc_nulls_last(),
         F.col("char_distance").asc(),
         F.col("a_left").asc(),
+        F.col("a_right").asc(),
+        F.col("anchor_type").asc(),
     )
     pairs = pairs.withColumn(
         "covers", F.col("covers") & (F.row_number().over(w_fill) == 1)
@@ -903,6 +905,8 @@ def run_bionlp_eval_nested(
         F.col("char_distance").asc(),
         F.col("f_left").asc(),
         F.col("filler_kind").asc(),
+        F.col("f_right").asc(),
+        F.col("filler_tag").asc(),
     )
     # Single-level promotion: a frame that ITSELF promotes (its covers
     # edge won contention) stops being covering evidence for its stale
