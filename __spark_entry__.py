@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dere_spark.queries import ORACLES, QUERIES
+from dere_spark.queries import ordered_oracles, ordered_queries
 from dere_spark.webtext import extract_triples
 
 
@@ -23,11 +23,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order is the curated DRIVER_WINDOW (dere_spark/queries.py): the driver's
+    CORRECTNESS artifact caps at the first 50 entries, so the 50-slot window
+    is an explicit, documented choice rather than registration-order
+    happenstance. The trailing 8 rotated-out gates stay registered and are
+    oracle-checked by the local harness."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (same column
     names/types; order-insensitive). Keys missing here get rows-only checks."""
-    return dict(ORACLES)
+    return ordered_oracles()

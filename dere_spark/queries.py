@@ -2204,3 +2204,73 @@ def _register_vectorize() -> None:
 
 
 _register_vectorize()
+
+
+# ---------------------------------------------------------------------------
+# Driver window curation (round 4).
+#
+# The external driver's CORRECTNESS artifact caps at the FIRST 50 queries in
+# registry order, so which operators receive the hard external signal is a
+# curation decision, not an accident (VERDICT r3 "What's wrong #2").
+# DRIVER_WINDOW is the explicit 50-slot ordering handed to the driver this
+# round: the 8 gates that have never (or no longer) had a green driver row
+# lead, followed by 42 keepers.  ROTATED_OUT names the 8 long-stable
+# relational gates parked outside the window — they remain registered and are
+# still oracle-checked locally every run by tests/test_oracle_parity.py.
+# Round 5 should rotate them back in (see NOTES.md).
+# ---------------------------------------------------------------------------
+
+ROTATED_OUT: tuple = (
+    # Stable since r1/r2 with green driver rows in CORRECTNESS_r01-r03;
+    # parked to make room for the 8 never/no-longer driver-checked gates.
+    "doc_lang_dist",
+    "join_full_outer_orders",
+    "agg_pricing_summary",
+    "set_union_distinct",
+    "set_intersect_except",
+    "regex_class_rewrite",
+    "window_rank_kinds",
+    "events_json_extract",
+)
+
+DRIVER_WINDOW: tuple = (
+    # -- the 8 gates needing their first/renewed green CORRECTNESS row --
+    "sim_ivf_topk",
+    "sim_kmeans_buckets",
+    "sim_ivf_batch_topk",
+    "graph_shortest_path",
+    "graph_span_paths",
+    "skew_salted_counts",
+    "dedup_embedding_pairs",
+    "text_bow_counts",
+    # -- keepers, in long-standing registry order --
+) + tuple(
+    name for name in QUERIES if name not in ROTATED_OUT and name not in (
+        "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
+        "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
+        "dedup_embedding_pairs", "text_bow_counts",
+    )
+)
+
+
+def ordered_queries() -> Dict[str, QueryFn]:
+    """Registry re-ordered window-first: the driver consumes the first 50
+    entries, so DRIVER_WINDOW leads and ROTATED_OUT trails (still present —
+    the local harness checks all of them)."""
+    out: Dict[str, QueryFn] = {}
+    for name in DRIVER_WINDOW:
+        out[name] = QUERIES[name]
+    for name in QUERIES:
+        if name not in out:
+            out[name] = QUERIES[name]
+    return out
+
+
+def ordered_oracles() -> Dict[str, str]:
+    """ORACLES in the same explicit order as ordered_queries()."""
+    return {name: ORACLES[name] for name in ordered_queries() if name in ORACLES}
+
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+assert set(DRIVER_WINDOW).isdisjoint(ROTATED_OUT)
+assert set(DRIVER_WINDOW) | set(ROTATED_OUT) == set(QUERIES)

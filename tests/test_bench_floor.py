@@ -1,0 +1,46 @@
+"""Flagship throughput floor (VERDICT r3 next-step #8): a change that
+silently halves the documents->triples pipeline must fail CI, not wait for
+a judge to diff BENCH files.
+
+Threshold: 18,000 uncached triples/s at sf0.1 on local[32] — r3 measured
+20,697 (BENCH_r03.json, quiet host); 18k leaves ~13% headroom for ambient
+load. The run mirrors bench.py exactly: one warm-up pass (JVM/codegen),
+then a timed steady-state count of the full uncached pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+SF01 = "/root/testdata/sf0.1"
+
+#: documented floor — see BENCH history; raise it if the flagship gets
+#: faster, never lower it to paper over a regression
+TRIPLES_PER_SEC_FLOOR = 18_000
+
+
+@pytest.mark.slow  # own 32-core session + sf0.1 pipeline, ~1 min
+def test_flagship_throughput_floor():
+    if not os.path.isdir(SF01):
+        pytest.skip("sf0.1 testdata not present")
+    from dere_spark.session import get_spark
+    from dere_spark.webtext import build_stages
+
+    spark = get_spark("bench_floor", cpus=32, shuffle_partitions=32)
+    try:
+        build_stages(spark, SF01)["triples"].count()  # warm JVM/codegen
+        best = 0.0
+        for _ in range(3):  # min-of-3: the steady-state number, not noise
+            t0 = time.perf_counter()
+            n = build_stages(spark, SF01)["triples"].count()
+            wall = time.perf_counter() - t0
+            best = max(best, n / wall)
+        assert best >= TRIPLES_PER_SEC_FLOOR, (
+            f"flagship regressed: best {best:,.0f} triples/s over 3 runs "
+            f"< floor {TRIPLES_PER_SEC_FLOOR:,} (r3 baseline 20,697)"
+        )
+    finally:
+        spark.stop()

@@ -27,3 +27,32 @@ def test_every_query_has_oracle_or_is_flagged():
     # every registered query is oracle-checked since r2 (porter got a
     # recorded-stems fixture oracle); keep it that way
     assert not missing, f"queries missing oracles: {missing}"
+
+
+def test_driver_window_is_curated():
+    """The external driver caps its CORRECTNESS artifact at the first 50
+    queries()` entries. The 50-slot window must be the explicit DRIVER_WINDOW
+    (VERDICT r3 #1/#9): the 8 previously driver-unverified gates lead, the
+    rotation is disjoint and total, and __spark_entry__ honors the order."""
+    import importlib.util
+    from pathlib import Path
+
+    from dere_spark.queries import DRIVER_WINDOW, ROTATED_OUT
+
+    assert len(DRIVER_WINDOW) == 50
+    assert set(DRIVER_WINDOW).isdisjoint(ROTATED_OUT)
+    assert set(DRIVER_WINDOW) | set(ROTATED_OUT) == set(QUERIES)
+    # the 8 gates that lacked a green driver row in CORRECTNESS_r03 lead
+    assert DRIVER_WINDOW[:8] == (
+        "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
+        "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
+        "dedup_embedding_pairs", "text_bow_counts",
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert list(mod.queries())[:50] == list(DRIVER_WINDOW)
+    assert list(mod.oracle_sql())[:50] == list(DRIVER_WINDOW)

@@ -90,3 +90,35 @@ def test_gazetteer_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # token stream side must not sort-merge against the gazetteer
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_filter_near_dups_no_forced_broadcast(spark, sf_dir):
+    """filter_near_dups must NOT force-broadcast the loser list: on the
+    dup-heavy corpora this operator targets, the non-representative side is
+    unbounded (billions of ids at 100 TB with a 30-50% dup rate), and a
+    hard F.broadcast hint bypasses autoBroadcastJoinThreshold. Strategy is
+    left to the optimizer/AQE: with the threshold disabled, the plan must
+    fall back to a shuffled LeftAnti join (proving no ResolvedHint pins
+    broadcast); with defaults, a genuinely-small loser list may still
+    broadcast — both shapes keep the LeftAnti semantics."""
+    from dere_spark.operators.dedup import filter_near_dups
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    clusters = spark.range(0, 200).select(
+        F.col("id").alias("node"), (F.col("id") - F.col("id") % 2).alias("component")
+    )
+    out = filter_near_dups(docs, clusters)
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _executed_plan(filter_near_dups(docs, clusters))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastHashJoin" not in plan, (
+        "loser-list broadcast is pinned by a hint; it must be optimizer-chosen:\n"
+        + plan[:1500]
+    )
+    # semantics: odd ids 1..199 are non-representatives -> 100 losers dropped
+    assert out.count() == 900
