@@ -58,7 +58,18 @@ def cmd_predict(args) -> int:
         from dere_spark.bionlp import gazetteer_from_model
         from dere_spark.plans.models import load_model
 
-        model, _ = load_model(args.model_dir)
+        if getattr(args, "corpus_train", None):
+            raise SystemExit(
+                "--corpus-train and --model-dir are mutually exclusive: a "
+                "built artifact already carries its gazetteer (drop one)"
+            )
+        # expected_class turns a wrong-artifact mistake into a clear
+        # manifest-level error instead of an AttributeError downstream
+        # (ADVICE r3)
+        model, _ = load_model(
+            args.model_dir,
+            expected_class="dere_spark.operators.kernels.GazetteerTagger",
+        )
         gaz = gazetteer_from_model(spark, model)
         train = None
     else:
@@ -68,10 +79,18 @@ def cmd_predict(args) -> int:
     if getattr(args, "tagger", False):
         if train is None:
             raise SystemExit("--tagger needs a training corpus, not --model-dir")
-        from dere_spark.bionlp import detect_triggers_tagged, train_trigger_tagger
+        from dere_spark.bionlp import (
+            calibrate_type_thresholds,
+            detect_triggers_tagged,
+            train_trigger_tagger,
+        )
 
         model, ttable, rates, ref_gaz = train_trigger_tagger(spark, train)
-        triggers = detect_triggers_tagged(corpus, model, ttable, rates, ref_gaz)
+        trig_train = detect_triggers_tagged(train, model, ttable, rates, ref_gaz)
+        thresholds = calibrate_type_thresholds(train, trig_train)
+        triggers = detect_triggers_tagged(
+            corpus, model, ttable, rates, ref_gaz, type_thresholds=thresholds
+        )
     hypo = predicted_corpus(spark, corpus, spec, gaz, triggers=triggers)
     os.makedirs(args.out, exist_ok=True)
     for row in dump_brat(hypo, just_predictions=True).collect():

@@ -46,10 +46,9 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-#: the reference's shipped span-model gazetteer (its model spec, read as
-#: data — model-specs/bionlpst-baseline.json points the span classifier
-#: at this file)
-REFERENCE_GAZETTEER = "/root/reference/model-specs/training_gazetteer_bionlp"
+#: the reference's shipped span-model gazetteer, read as data — resolved
+#: through the shared, env-overridable root (dere_spark/refdata.py)
+from dere_spark.refdata import REFERENCE_GAZETTEER
 
 #: hashed feature space width (2^12: small enough to broadcast the weight
 #: table everywhere, large enough that collisions are rare at ~40
@@ -57,6 +56,11 @@ REFERENCE_GAZETTEER = "/root/reference/model-specs/training_gazetteer_bionlp"
 FEATURE_DIM = 4096
 
 _NOMINAL_SUFFIXES = ("tion", "sion", "ment", "ance", "ence")
+
+#: probe flag (VERDICT r3 #7): char-4 PREFIX surface feature ("p4=")
+#: alongside the existing suffix 3/4-grams; default per the measured A/B
+#: in BASELINE.md r4
+_PREFIX4_FEATURES = False
 
 
 def load_reference_gazetteer(
@@ -166,23 +170,26 @@ def candidate_features(
     opt = lambda cond, s: F.when(cond, F.array(F.lit(s))).otherwise(  # noqa: E731
         F.array().cast("array<string>")
     )
-    feats = F.concat(
-        F.array(
-            F.concat(F.lit("nrg="), F.least(F.size("types"), F.lit(4))),
-            F.concat(F.lit("s3="), F.substring(low, -3, 3)),
-            F.concat(F.lit("s4="), F.substring(low, -4, 4)),
-            F.concat(F.lit("st="), F.col("stem")),
-            F.concat(F.lit("pv="), F.col("prev")),
-            F.concat(F.lit("nx="), F.col("nxt")),
-            F.when(unseen, F.lit("unseen")).otherwise(
-                F.concat(
-                    F.lit("rate="),
-                    F.when(F.col("n_trig") == 0, F.lit("0"))
-                    .when(rate < 0.5, F.lit("lo"))
-                    .otherwise(F.lit("hi")),
-                )
-            ),
+    base = [
+        F.concat(F.lit("nrg="), F.least(F.size("types"), F.lit(4))),
+        F.concat(F.lit("s3="), F.substring(low, -3, 3)),
+        F.concat(F.lit("s4="), F.substring(low, -4, 4)),
+        F.concat(F.lit("st="), F.col("stem")),
+        F.concat(F.lit("pv="), F.col("prev")),
+        F.concat(F.lit("nx="), F.col("nxt")),
+        F.when(unseen, F.lit("unseen")).otherwise(
+            F.concat(
+                F.lit("rate="),
+                F.when(F.col("n_trig") == 0, F.lit("0"))
+                .when(rate < 0.5, F.lit("lo"))
+                .otherwise(F.lit("hi")),
+            )
         ),
+    ]
+    if _PREFIX4_FEATURES:
+        base.append(F.concat(F.lit("p4="), F.substring(low, 1, 4)))
+    feats = F.concat(
+        F.array(*base),
         F.transform("types", lambda t: F.concat(F.lit("rg="), t)),
         opt(nom, "nom"),
         opt(F.col("nxt") == "of", "nx_of"),
@@ -323,38 +330,46 @@ def fit_viability_distributed(
     **thresholds: float,
 ) -> TaggerModel:
     """Sparse distributed GD — the scale path: no training row reaches
-    the driver; per iteration only ≤ dim gradient scalars do.
+    the driver; per iteration only ≤ dim+1 gradient scalars do.
 
-    Physical shape per iteration (all JVM, whole-stage codegen):
-      * z per candidate: broadcast-join the current (fid, w) table onto
-        the EXPLODED feature rows (cached, pre-partitioned by row key),
-        then an in-partition re-aggregation — exchange paid once at
-        cache time, not per iteration. The per-row sum folds a
-        fid-sorted struct array, so it is bit-deterministic regardless
-        of join arrival order;
-      * gradient per feature: residual × class-weight joined back to the
-        exploded rows, partial sums per (fid, content-bucket), then an
-        ordered fold over bucket partials — the dense learner's
-        determinism recipe (operators/logreg.py) at sparse width. The
-        driver folds ≤ dim rows.
+    Physical shape: the per-candidate design rows (key, sorted fids, y,
+    content bucket) are cached ONCE as a compact frame; each iteration is
+    then a SINGLE Spark job (VERDICT r3 "What's wrong #3" — the old shape
+    launched ~3 jobs/iteration: a weight-table broadcast plus separate
+    gradient and bias collects, ~900 jobs/fit; this one launches
+    iterations+1 total):
+      * z per candidate: a fold over the PRE-SORTED fids adding
+        `w[fid]` looked up in a constant-folded literal weight array —
+        no join, no shuffle, bit-identical to the old fid-sorted
+        struct fold (absent fids contribute exactly +0.0);
+      * gradient per feature AND the bias term in one aggregation:
+        per-candidate residuals explode to (fid, bucket) partial sums,
+        the bias rides along as fid = -1, then an ordered fold over
+        bucket partials — the dense learner's determinism recipe
+        (operators/logreg.py) at sparse width, one collect.
 
     Weights are bit-identical across parallelism levels for fixed
     num_buckets; parity with the collect-based fit is ~1e-9 (float
-    summation order only), pinned by test."""
+    summation order only), pinned by test.
+
+    One job per iteration is the floor for EXACT full-batch GD — step
+    t+1's gradient needs step t's weights through a global reduce, so
+    steps cannot fold into one job without changing the optimizer (and
+    the pinned parity). Measured r4 (20 iters, 2k cands, local[8]):
+    28.5 s -> 17.3 s, ~3 jobs/iter -> 1 (A/B in BASELINE.md)."""
     key = ["doc_id", "token_idx"]
-    base = cands.select(
-        *key, "fids", F.col(label_col).cast("double").alias("_y")
-    ).withColumn(
-        "_b", F.pmod(F.xxhash64(*key), F.lit(num_buckets)).cast("int")
-    )
-    exploded = (
-        base.select(*key, "_y", "_b", F.explode("fids").alias("fid"))
+    compact = (
+        cands.select(
+            *key,
+            F.sort_array("fids").alias("fids"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .withColumn("_b", F.pmod(F.xxhash64(*key), F.lit(num_buckets)).cast("int"))
         .repartition(num_buckets, *key)
         .persist()
     )
-    spark = cands.sparkSession
     try:
-        head = exploded.groupBy(*key).agg(F.first("_y").alias("_y")).agg(
+        head = compact.agg(
             F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
         ).first()
         n = int(head["n"])
@@ -370,39 +385,33 @@ def fit_viability_distributed(
         w = np.zeros(dim)
         b = 0.0
         for _ in range(iterations):
-            wdf = spark.createDataFrame(
-                [(i, float(x)) for i, x in enumerate(w) if x != 0.0] or [(0, 0.0)],
-                "fid int, w double",
+            # one constant array literal, built as a SQL string: F.lit(list)
+            # pays ~2 s of py4j round-trips for 4096 elements, F.expr parses
+            # JVM-side in ~5 ms; D-suffixed repr round-trips doubles
+            # bit-exactly (test-pinned parity)
+            warr = F.expr(
+                "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
             )
-            # deterministic per-row z: fold a fid-sorted struct array
             zcol = F.aggregate(
-                F.sort_array(
-                    F.collect_list(F.struct("fid", F.coalesce("w", F.lit(0.0)).alias("w")))
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x["w"],
+                F.col("fids"), F.lit(0.0), lambda acc, x: acc + F.get(warr, x)
             )
-            rows = (
-                exploded.join(F.broadcast(wdf), "fid", "left")
-                .groupBy(*key)
-                .agg(
-                    zcol.alias("_z"),
-                    F.first("_y").alias("_y"),
-                    F.first("_b").alias("_rb"),
-                )
-            )
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + F.lit(float(b)))))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(zcol + F.lit(float(b)))))
             g = (p - F.col("_y")) * F.when(
                 F.col("_y") > 0.5, F.lit(sw_pos)
             ).otherwise(F.lit(sw_neg))
-            resid = rows.select(*key, F.col("_rb").alias("_b"), g.alias("_g"))
-            # gradient per fid: partial sums per content bucket, then an
-            # ordered fold over bucket partials (bit-deterministic)
-            grads = (
-                exploded.select(*key, "fid")
-                .join(resid, key)
+            contrib = compact.select("_b", "fids", g.alias("_g"))
+            per_fid = (
+                contrib.select("_b", "_g", F.explode("fids").alias("fid"))
                 .groupBy("fid", "_b")
                 .agg(F.sum("_g").alias("_s"))
+            )
+            bias_rows = (
+                contrib.groupBy("_b")
+                .agg(F.sum("_g").alias("_s"))
+                .select(F.lit(-1).alias("fid"), "_b", "_s")
+            )
+            parts = (
+                per_fid.unionByName(bias_rows)
                 .groupBy("fid")
                 .agg(
                     F.aggregate(
@@ -413,20 +422,17 @@ def fit_viability_distributed(
                 )
                 .collect()
             )
-            bias_parts = sorted(
-                resid.groupBy("_b").agg(F.sum("_g").alias("_s")).collect(),
-                key=lambda r: r["_b"],
-            )
             grad_w = np.zeros(dim)
-            for r in grads:
-                grad_w[r["fid"]] = r["_gsum"]
             sum_g = 0.0
-            for r in bias_parts:
-                sum_g += r["_s"]
+            for r in parts:
+                if r["fid"] < 0:
+                    sum_g = r["_gsum"]
+                else:
+                    grad_w[r["fid"]] = r["_gsum"]
             w = w - lr * (grad_w / n + l2 * w)
             b = b - lr * (sum_g / n)
     finally:
-        exploded.unpersist()
+        compact.unpersist()
     return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
 
 

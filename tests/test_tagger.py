@@ -121,17 +121,17 @@ def test_scoring_is_broadcast_join_no_udf(spark):
 def test_tagged_path_beats_gazetteer_held_out(spark):
     """VERDICT r2 next-step #1 (learned token tagger): the tagged path
     must beat every prior held-out number. Pinned floors sit just under
-    the measured values (span F1 0.4773, frame F1 0.1778 — prior bests
-    0.377 / 0.108 gazetteer, 0.1304 pre-promotion; the frame gain is the
-    r3 stage-B attachment: coverage promotion + per-filler contention +
-    single-level star-forest restriction, run_bionlp_eval_nested. The
-    0.55 span target is bounded by genuinely unlearnable cases, see
-    COVERAGE.md)."""
+    the measured values (span F1 0.506, frame F1 0.1882 with the r4
+    per-type score calibration — prior bests 0.4773/0.1778 uncalibrated
+    r3, 0.377/0.108 gazetteer; calibration is tuned on TRAIN only and
+    improves train too, see calibrate_type_thresholds + BASELINE.md r4.
+    The 0.55 span target remains bounded by genuinely unlearnable
+    cases, see COVERAGE.md)."""
     from dere_spark.bionlp import run_bionlp_eval_tagged
 
     r = run_bionlp_eval_tagged(spark, TRAIN_DIR, TEST_DIR)
-    assert r.fscore("span") >= 0.47, r.fscore("span")
-    assert r.fscore("frame") >= 0.17, r.fscore("frame")
+    assert r.fscore("span") >= 0.50, r.fscore("span")
+    assert r.fscore("frame") >= 0.18, r.fscore("frame")
 
 
 def _synthetic_cands(spark, n=200):
