@@ -120,12 +120,24 @@ def shortest_dep_paths(edges: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def span_shortest_paths(edges: DataFrame, span_pairs: DataFrame) -> DataFrame:
-    """Reference `edge_distance`/`get_shortest_path` semantics
-    (slot_classifier.py:639-704): spans are SETS of token nodes, the
+    """Span-level shortest dependency paths (reference
+    slot_classifier.py:639-704): spans are SETS of token nodes, the
     span-pair distance is the MIN over all token pairs, ties broken by
     the first pair in iteration order (token1 outer, token2 inner, both
     in document order — nx `shortest_path` is replaced only on strictly
     shorter paths).
+
+    DELIBERATE DEVIATION from the reference's `edge_distance` (documented
+    per ADVICE r3): the reference is internally inconsistent when a span
+    pair is PARTIALLY disconnected — `get_shortest_path` skips
+    disconnected token pairs and returns the min over connected ones,
+    while `edge_distance` lets the NetworkXNoPath raised inside its min()
+    abort the whole aggregation and returns -1 if ANY token pair
+    disconnects. Both path_len and path_labels here follow the
+    `get_shortest_path` behavior (min over CONNECTED pairs; -1/'' only
+    when every pair disconnects) so the two outputs stay mutually
+    consistent. Pinned by
+    tests/test_operators.py::test_span_paths_partially_disconnected.
 
     span_pairs: (group_id, pair_id, from_idxs:array<int>, to_idxs:array<int>).
     Returns (group_id, pair_id, path_len, path_labels) with -1/'' when no

@@ -94,7 +94,7 @@ def _score_centroids(
     centroids: DataFrame,
     vec_col: str,
     id_col: str,
-) -> Column:
+) -> DataFrame:
     c = centroids.select("centroid_id", "centroid")
     return embeddings.join(F.broadcast(c)).select(
         id_col,

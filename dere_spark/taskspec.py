@@ -129,6 +129,105 @@ def _parse_bool(s: str) -> bool:
     return s == "True"
 
 
+class TaskSpecStructureError(ValueError):
+    """A spec file violates the schema's structural rules (the DTD the
+    reference ships: task-specs/dere.dtd + validator.py:15-44)."""
+
+
+#: element -> (required attrs, optional attrs); content rules are coded in
+#: validate_task_spec_structure. Mirrors task-specs/dere.dtd.
+_DTD_ATTRS = {
+    "deREschema": ({"name", "version", "author"}, set()),
+    "spans": (set(), set()),
+    "frames": (set(), set()),
+    "span": ({"name", "predict"}, set()),
+    "frame": (set(), {"name"}),  # name is #IMPLIED in the DTD
+    "slot": (
+        {"name", "types"},
+        {"cardinality", "mincardinality", "maxcardinality"},
+    ),
+}
+
+_DTD_CHILDREN = {
+    "deREschema": {"spans", "frames"},
+    "spans": {"span"},
+    "frames": {"frame"},
+    "frame": {"slot"},
+    "span": set(),  # EMPTY
+    "slot": set(),  # EMPTY
+}
+
+
+def validate_task_spec_structure(root: "ET.Element", path: str = "<spec>") -> None:
+    """Structural validation equivalent to the reference's DTD check
+    (task-specs/dere.dtd via task-specs/validator.py): unknown elements and
+    attributes are rejected with the offending name, EMPTY elements may not
+    have children, required attributes must be present, and cardinality
+    attributes must be non-negative integers with min <= max. Runs before
+    semantic loading so a malformed spec fails with a clear message instead
+    of a KeyError deep in symbol resolution."""
+
+    def fail(msg: str) -> None:
+        raise TaskSpecStructureError(f"{path}: {msg}")
+
+    if root.tag != "deREschema":
+        fail(f"root element must be <deREschema>, found <{root.tag}>")
+
+    def walk(el: "ET.Element") -> None:
+        if el.tag not in _DTD_ATTRS:
+            fail(f"unknown element <{el.tag}>")
+        required, optional = _DTD_ATTRS[el.tag]
+        missing = required - set(el.attrib)
+        if missing:
+            fail(
+                f"<{el.tag}> missing required attribute(s) "
+                + ", ".join(sorted(missing))
+            )
+        unknown = set(el.attrib) - required - optional
+        if unknown:
+            fail(
+                f"<{el.tag}> has unknown attribute(s) "
+                + ", ".join(sorted(unknown))
+            )
+        allowed = _DTD_CHILDREN[el.tag]
+        for child in el:
+            if child.tag not in allowed:
+                if not allowed:
+                    fail(f"<{el.tag}> is EMPTY but contains <{child.tag}>")
+                fail(
+                    f"<{el.tag}> may only contain "
+                    + "|".join(f"<{t}>" for t in sorted(allowed))
+                    + f", found <{child.tag}>"
+                )
+            walk(child)
+        if el.tag == "slot":
+            bounds = {}
+            for attr in ("cardinality", "mincardinality", "maxcardinality"):
+                if attr in el.attrib:
+                    try:
+                        v = int(el.attrib[attr])
+                    except ValueError:
+                        fail(
+                            f"<slot name={el.attrib.get('name', '?')!r}> "
+                            f"{attr}={el.attrib[attr]!r} is not an integer"
+                        )
+                    if v < 0:
+                        fail(
+                            f"<slot name={el.attrib.get('name', '?')!r}> "
+                            f"{attr}={v} is negative"
+                        )
+                    bounds[attr] = v
+            lo = bounds.get("mincardinality", bounds.get("cardinality"))
+            hi = bounds.get("maxcardinality", bounds.get("cardinality"))
+            if lo is not None and hi is not None and lo > hi:
+                fail(
+                    f"<slot name={el.attrib.get('name', '?')!r}> "
+                    f"mincardinality {lo} > maxcardinality {hi}"
+                )
+
+    walk(root)
+
+
 def load_task_spec(path: str) -> TaskSpecification:
     """Two-pass XML loader (semantics of dere/taskspec.py:83-152).
 
@@ -161,6 +260,8 @@ def load_task_spec(path: str) -> TaskSpecification:
             root = ET.fromstring(data.decode("utf-8"))
         else:
             root = ET.parse(path).getroot()  # surface the original error
+
+    validate_task_spec_structure(root, path)
 
     span_types: Dict[str, SpanType] = {}
     frame_types: Dict[str, FrameType] = {}

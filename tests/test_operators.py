@@ -331,6 +331,36 @@ def test_span_shortest_paths_reference_min_semantics(spark):
     assert got["p3"] == (-1, "")
 
 
+def test_span_paths_partially_disconnected(spark):
+    """Pins the DELIBERATE deviation documented on span_shortest_paths
+    (ADVICE r3): a span pair where SOME token pairs disconnect follows
+    get_shortest_path semantics — min over the CONNECTED pairs — not
+    edge_distance's any-pair-disconnected => -1. Graph: 1 -nsubj- 2,
+    1 -dobj- 3; node 9 isolated."""
+    from dere_spark.operators.deppath import span_shortest_paths
+
+    edges = spark.createDataFrame(
+        [("s1", 2, 1, "nsubj"), ("s1", 3, 1, "dobj")],
+        "group_id string, src int, dst int, label string",
+    )
+    span_pairs = spark.createDataFrame(
+        [
+            # from-span {2, 9}: token 9 is disconnected, token 2 reaches 3
+            # in 2 hops -> the connected pair wins (NOT -1)
+            ("s1", "partial", [2, 9], [3]),
+            # both sides fully disconnected -> -1/''
+            ("s1", "alldisc", [9], [8]),
+        ],
+        "group_id string, pair_id string, from_idxs array<int>, to_idxs array<int>",
+    )
+    got = {
+        r["pair_id"]: (r["path_len"], r["path_labels"])
+        for r in span_shortest_paths(edges, span_pairs).collect()
+    }
+    assert got["partial"] == (2, "nsubj/dobj")
+    assert got["alldisc"] == (-1, "")
+
+
 def test_shortest_dep_paths_fixture(spark):
     """F6/O1: BFS over a hand-built dependency tree —
         1(root) -nsubj- 2, 1 -dobj- 3, 3 -amod- 4; node 9 isolated."""

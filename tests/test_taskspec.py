@@ -67,3 +67,106 @@ def test_compile_plan_bionlp():
     # (Gene_expression, Protein) must be a plausible anchor/filler pair
     labels = plan.plausible_relations[("Gene_expression", "Protein")]
     assert any(l.predicate == "Gene_expression.Theme" for l in labels)
+
+
+# ---------------------------------------------------------------------------
+# Structural (DTD-equivalent) validation — reference task-specs/dere.dtd via
+# task-specs/validator.py:15-44 (VERDICT r3 missing #5)
+# ---------------------------------------------------------------------------
+
+def _write(tmp_path, body: str) -> str:
+    p = tmp_path / "bad.xml"
+    p.write_text(body)
+    return str(p)
+
+
+def test_structure_all_shipped_specs_valid():
+    """All 6 shipped reference specs pass the structural check (they are
+    DTD-valid upstream)."""
+    from dere_spark.taskspec import load_task_spec
+
+    for path in REFERENCE_SPECS:
+        load_task_spec(path)  # must not raise
+
+
+def test_structure_unknown_element(tmp_path):
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        "<gadgets/></deREschema>",
+    )
+    with pytest.raises(TaskSpecStructureError, match="gadgets"):
+        load_task_spec(p)
+
+
+def test_structure_missing_required_attribute(tmp_path):
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T"/></spans></deREschema>',  # predict missing
+    )
+    with pytest.raises(TaskSpecStructureError, match="predict"):
+        load_task_spec(p)
+
+
+def test_structure_unknown_attribute(tmp_path):
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="True" color="red"/></spans>'
+        "</deREschema>",
+    )
+    with pytest.raises(TaskSpecStructureError, match="color"):
+        load_task_spec(p)
+
+
+def test_structure_cardinality_sanity(tmp_path):
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    base = (
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="True"/></spans>'
+        '<frames><frame name="E">{slot}</frame></frames></deREschema>'
+    )
+    p = _write(
+        tmp_path, base.format(slot='<slot name="S" types="T" cardinality="two"/>')
+    )
+    with pytest.raises(TaskSpecStructureError, match="not an integer"):
+        load_task_spec(p)
+    p = _write(
+        tmp_path,
+        base.format(
+            slot='<slot name="S" types="T" mincardinality="3" maxcardinality="1"/>'
+        ),
+    )
+    with pytest.raises(TaskSpecStructureError, match="mincardinality 3 > maxcardinality 1"):
+        load_task_spec(p)
+
+
+def test_structure_empty_element_with_children(tmp_path):
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="True"><oops/></span></spans>'
+        "</deREschema>",
+    )
+    with pytest.raises(TaskSpecStructureError, match="EMPTY"):
+        load_task_spec(p)
