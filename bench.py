@@ -65,9 +65,15 @@ def _run_suite(cpus: int) -> tuple[dict, float, dict]:
     t0 = time.perf_counter()
     flagship_triples = build_stages(spark, SF_DIR)["triples"].count()
     flagship_cold = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    build_stages(spark, SF_DIR)["triples"].count()  # steady-state run
-    flagship_wall = round(time.perf_counter() - t0, 3)
+    # steady-state: min of 2 runs — the throughput estimator should report
+    # the plan, not ambient host load (same min-of-N rule the scaling
+    # sessions use; r3's single-run number swung ±15% with tenant noise)
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build_stages(spark, SF_DIR)["triples"].count()
+        walls.append(time.perf_counter() - t0)
+    flagship_wall = round(min(walls), 3)
     t_suite = time.perf_counter()
     for name in HEADLINE:
         # cold run: includes shared-stage materialization (charged once,

@@ -836,7 +836,7 @@ def _register_dedup() -> None:
     from dere_spark.operators.dedup import (
         candidate_pairs_lsh,
         jaccard_verify,
-        lsh_bands,
+        lsh_bands_fused,
         minhash_signatures,
         near_dup_clusters,
         shingles,
@@ -862,8 +862,7 @@ def _register_dedup() -> None:
     )
     def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """LSH banding (4 bands x 4 rows): candidate near-dup pairs."""
-        sigs = minhash_signatures(_shingles(spark, sf_dir), num_hashes=16)
-        return candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        return candidate_pairs_lsh(lsh_bands_fused(_shingles(spark, sf_dir), num_hashes=16, bands=4))
 
     @register(
         "dedup_jaccard_verified",
@@ -873,8 +872,7 @@ def _register_dedup() -> None:
     def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact Jaccard verification of LSH candidates (shingle join)."""
         sh = _shingles(spark, sf_dir)
-        sigs = minhash_signatures(sh, num_hashes=16)
-        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
         return jaccard_verify(pairs, sh).withColumn(
             "jaccard", F.round("jaccard", 6)
         )
@@ -900,8 +898,7 @@ def _register_dedup() -> None:
         propagation) over verified pairs — the scaled-up Equiv closure
         (reference: deRE_evaluation.py:92-99)."""
         sh = _shingles(spark, sf_dir)
-        sigs = minhash_signatures(sh, num_hashes=16)
-        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
         return near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
 
     @register(
@@ -934,8 +931,7 @@ def _register_dedup() -> None:
         from dere_spark.operators.dedup import filter_near_dups
 
         sh = _shingles(spark, sf_dir)
-        sigs = minhash_signatures(sh, num_hashes=16)
-        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
         clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
         docs = load_documents(spark, sf_dir, columns=[]).select("doc_id")
         return filter_near_dups(docs, clusters)
@@ -965,8 +961,7 @@ def _register_dedup() -> None:
         from dere_spark.operators.graph import connected_components_star
 
         sh = _shingles(spark, sf_dir)
-        sigs = minhash_signatures(sh, num_hashes=16)
-        pairs = candidate_pairs_lsh(lsh_bands(sigs, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
         verified = jaccard_verify(pairs, sh)
         edges = verified.where(F.col("jaccard") >= 0.8).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1529,8 +1524,7 @@ def _register_entity_canonicalization() -> None:
     from dere_spark.operators.dedup import (
         candidate_pairs_lsh,
         jaccard_verify,
-        lsh_bands,
-        minhash_signatures,
+        lsh_bands_fused,
         near_dup_clusters,
     )
 
@@ -1626,7 +1620,7 @@ ent_verified AS (
         MinHash-LSH candidate pairs over graph entity surface forms —
         the scaled Equiv closure's blocking stage."""
         sh = _entity_shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands(minhash_signatures(sh, 16), 4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, 16, 4))
         return pairs.select(
             F.col("doc_a").alias("ent_a"), F.col("doc_b").alias("ent_b")
         )
@@ -1651,7 +1645,7 @@ ent_verified AS (
         """Entity canonicalization: verified near-dup surface forms
         collapsed by connected components -> (entity, canonical id)."""
         sh = _entity_shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands(minhash_signatures(sh, 16), 4))
+        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, 16, 4))
         clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.5)
         return clusters.select(
             F.col("node").alias("entity"), F.col("component").alias("canonical")
