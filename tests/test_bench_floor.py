@@ -2,10 +2,11 @@
 silently halves the documents->triples pipeline must fail CI, not wait for
 a judge to diff BENCH files.
 
-Threshold: 18,000 uncached triples/s at sf0.1 on local[32] — r3 measured
-20,697 (BENCH_r03.json, quiet host); 18k leaves ~13% headroom for ambient
-load. The run mirrors bench.py exactly: one warm-up pass (JVM/codegen),
-then a timed steady-state count of the full uncached pipeline.
+Threshold: 20,000 uncached triples/s at sf0.1 on local[32] — r4 measured
+25,698 and 29,039 (min-of-2 estimator) in two separate sessions under
+ambient load 4-14; 20k leaves >20% headroom. The run mirrors bench.py
+exactly: one warm-up pass (JVM/codegen), then timed steady-state counts
+of the full uncached pipeline.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ SF01 = "/root/testdata/sf0.1"
 
 #: documented floor — see BENCH history; raise it if the flagship gets
 #: faster, never lower it to paper over a regression
-TRIPLES_PER_SEC_FLOOR = 18_000
+TRIPLES_PER_SEC_FLOOR = 20_000
 
 
 @pytest.mark.slow  # own 32-core session + sf0.1 pipeline, ~1 min
