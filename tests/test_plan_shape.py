@@ -122,3 +122,20 @@ def test_filter_near_dups_no_forced_broadcast(spark, sf_dir):
     )
     # semantics: odd ids 1..199 are non-representatives -> 100 losers dropped
     assert out.count() == 900
+
+
+def test_fused_lsh_single_exchange(spark):
+    """lsh_bands_fused must add exactly ONE data exchange (the
+    groupBy(doc_id) that collects each doc's shingles) on top of its
+    input — the whole point of fusing minhash + banding is that the
+    signature table and the band pre-aggregation never cross the wire
+    (the staged chain pays 3 exchanges)."""
+    from dere_spark.operators.dedup import lsh_bands_fused
+
+    sh = spark.createDataFrame(
+        [(f"d{i}", f"sh{j}") for i in range(5) for j in range(8)],
+        "doc_id string, shingle string",
+    )
+    plan = _executed_plan(lsh_bands_fused(sh, 16, 4))
+    data_exchanges = len(re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan))
+    assert data_exchanges == 1, f"fused LSH gained an exchange:\n{plan[:1500]}"
