@@ -106,23 +106,61 @@ def treebank_tokens(text: str) -> List[str]:
 def treebank_spans(text: str) -> List[Tuple[int, int]]:
     """nltk 3.3 ``span_tokenize``: tokenize, map converted quote tokens
     back to their raw source text, then align tokens left-to-right
-    (nltk.tokenize.util.align_tokens)."""
+    (nltk.tokenize.util.align_tokens).
+
+    DELIBERATE ROBUSTNESS DEVIATION: nltk's align_tokens raises
+    ValueError when a quote-rewritten form (`` / '') is GLUED inside a
+    larger token or a literal `"` hides mid-token — adversarial but real
+    on web text (found by tests/test_tokenizer_fuzz.py). Where nltk-3.3
+    would crash, this aligner falls back to a regex that lets each
+    rewritten quote form match any of its possible source spellings, so
+    offsets always land on a verbatim source substring (the fidelity
+    invariant) and no document can kill a 100 TB job. On any text nltk
+    aligns, the output is identical to nltk's."""
     raw_tokens = treebank_tokens(text)
-    if ('"' in text) or ("''" in text):
-        matched = [m.group() for m in _QUOTE_FINDER.finditer(text)]
-        tokens = [
-            matched.pop(0) if tok in ('"', "``", "''") else tok
-            for tok in raw_tokens
-        ]
-    else:
-        tokens = raw_tokens
-    point = 0
-    offsets: List[Tuple[int, int]] = []
-    for token in tokens:
-        start = text.index(token, point)  # ValueError = alignment bug
-        point = start + len(token)
-        offsets.append((start, point))
-    return offsets
+
+    def strict() -> List[Tuple[int, int]]:
+        # nltk semantics: converted quote tokens are re-mapped to source
+        # spellings in finder order, then aligned with str.index
+        if ('"' in text) or ("''" in text):
+            matched = [m.group() for m in _QUOTE_FINDER.finditer(text)]
+            tokens = [
+                matched.pop(0) if (tok in ('"', "``", "''") and matched) else tok
+                for tok in raw_tokens
+            ]
+        else:
+            tokens = raw_tokens
+        point = 0
+        out: List[Tuple[int, int]] = []
+        for token in tokens:
+            start = text.index(token, point)  # ValueError -> tolerant pass
+            point = start + len(token)
+            out.append((start, point))
+        return out
+
+    def tolerant() -> List[Tuple[int, int]]:
+        # full realignment: every rewritten quote form inside any token
+        # may match any of its source spellings
+        point = 0
+        out: List[Tuple[int, int]] = []
+        for token in raw_tokens:
+            pat = (
+                re.escape(token)
+                .replace(re.escape("``"), "(?:``|\")")
+                .replace(re.escape("''"), "(?:''|\")")
+                .replace(re.escape('"'), "(?:``|''|\")")
+            )
+            m = re.compile(pat).search(text, point)
+            if m is None:  # pragma: no cover - alignment truly impossible
+                raise ValueError(f"cannot align {token!r} in {text!r}")
+            point = m.end()
+            out.append((m.start(), m.end()))
+        return out
+
+    try:
+        return strict()
+    except ValueError:
+        return tolerant()
 
 
 def _treebank_rule_chain(word, is_first, is_last):
