@@ -48,8 +48,22 @@ _FILLS_SCHEMA = (
 _INSTANCES_SCHEMA = "doc_id string, instance_idx int, text string, i_start int, i_end int"
 
 
-def _parse_document(doc_id: str, content: str, spec: TaskSpecification, load_gold: bool):
-    """Pure-python per-document parse (runs inside the Arrow kernel)."""
+def _parse_document(
+    doc_id: str,
+    content: str,
+    spec: TaskSpecification,
+    load_gold: bool,
+    on_error: str = "fail",
+):
+    """Pure-python per-document parse (runs inside the Arrow kernel).
+
+    ``on_error``: "fail" raises a ValueError NAMING the offending document
+    (the raw ParseError loses the doc_id once it crosses the Arrow
+    boundary); "skip" drops the malformed document and keeps the job alive
+    — the right mode for crawled corpora at scale, where one corrupt file
+    must not kill a 100 TB load. Skips are per-document and loud in the
+    sense that the doc simply has no rows in ANY output table, which the
+    caller can diff against the file listing."""
     import xml.etree.ElementTree as ET
 
     instances: List[tuple] = []
@@ -57,7 +71,12 @@ def _parse_document(doc_id: str, content: str, spec: TaskSpecification, load_gol
     frames: List[tuple] = []
     fills: List[tuple] = []
 
-    root = ET.fromstring(content)
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        if on_error == "skip":
+            return instances, spans, frames, fills
+        raise ValueError(f"malformed XML in document {doc_id!r}: {e}") from e
     offset = 0
     counter = {"n": 0}
 
@@ -128,9 +147,16 @@ def _parse_document(doc_id: str, content: str, spec: TaskSpecification, load_gol
 
 
 def load_xml_corpus(
-    spark: SparkSession, path: str, spec: TaskSpecification, load_gold: bool = True
+    spark: SparkSession,
+    path: str,
+    spec: TaskSpecification,
+    load_gold: bool = True,
+    on_error: str = "fail",
 ) -> Dict[str, DataFrame]:
-    """Directory of .xml docs -> corpus tables (same shape as load_brat)."""
+    """Directory of .xml docs -> corpus tables (same shape as load_brat).
+
+    ``on_error="skip"`` drops malformed XML documents instead of failing
+    the job (see _parse_document)."""
     raw = _read_whole_files(spark, os.path.join(path, "*.xml"), "xml")
 
     def kernel(which: int):
@@ -147,7 +173,7 @@ def load_xml_corpus(
             for batch in batches:
                 rows: List[tuple] = []
                 for r in batch.itertuples():
-                    parsed = _parse_document(r.doc_id, r.content, spec, load_gold)
+                    parsed = _parse_document(r.doc_id, r.content, spec, load_gold, on_error)
                     if which == 1:
                         # reorder span tuple into schema order
                         rows.extend(

@@ -73,3 +73,31 @@ def test_universal_dispatch(spark, tmp_path):
     assert c2["spans"].count() == 148
     with pytest.raises(ValueError):
         load_corpus_auto(spark, "/tmp/definitely_empty_dir_xyz", spec)
+
+
+def test_malformed_xml_fails_with_doc_id(spark, tmp_path):
+    """on_error='fail' (default): a corrupt file fails the load with the
+    offending document NAMED — the raw ParseError loses that context at
+    the Arrow boundary."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "good.xml").write_text(DOC)
+    (d / "corrupt.xml").write_text("<doc><PARAGRAPH>unclosed")
+    spec = load_task_spec(QUOTE_SPEC)
+    with pytest.raises(Exception, match="malformed XML in document 'corrupt'"):
+        load_xml_corpus(spark, str(d), spec)["instances"].count()
+
+
+def test_malformed_xml_skip_mode_keeps_job_alive(spark, tmp_path):
+    """on_error='skip': the corrupt document contributes no rows, every
+    well-formed document loads normally — one bad crawl file must not
+    kill a web-scale load."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.xml").write_text(DOC)
+    (d / "corrupt.xml").write_text("<doc><PARAGRAPH>unclosed")
+    spec = load_task_spec(QUOTE_SPEC)
+    corpus = load_xml_corpus(spark, str(d), spec, on_error="skip")
+    docs = {r["doc_id"] for r in corpus["instances"].select("doc_id").distinct().collect()}
+    assert docs == {"good"}
+    assert corpus["spans"].count() > 0
