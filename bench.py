@@ -47,6 +47,31 @@ HEADLINE = [
 ]
 
 
+def flagship_steady_state(spark, sf_dir: str, runs: int = 2) -> tuple[int, float]:
+    """THE flagship throughput estimator: min-of-``runs`` wall of the FULL
+    uncached documents->triples pipeline (stage caching deliberately
+    bypassed), measured on an already-warm session.
+
+    Returns ``(n_triples, min_wall_sec)``.  This single function is shared
+    by bench.py's published ``triples_per_sec`` and by the CI floor test
+    (tests/test_bench_floor.py) so the two can never disagree about what
+    "flagship throughput" means (VERDICT r4 "What's wrong #1": the floor
+    test previously used a more favorable best-of-3 ``max(n/wall)``
+    estimator and pinned a floor the published min-of-2 number was below).
+    Min-of-N reports the plan, not ambient host load — same rule the
+    scaling sessions use; a single run swings ±15-30% with tenant noise.
+    """
+    from dere_spark.webtext import build_stages
+
+    walls = []
+    n = 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n = build_stages(spark, sf_dir)["triples"].count()
+        walls.append(time.perf_counter() - t0)
+    return n, round(min(walls), 3)
+
+
 def _run_suite(cpus: int) -> tuple[dict, float, dict]:
     from dere_spark.queries import QUERIES
     from dere_spark.session import get_spark
@@ -65,15 +90,8 @@ def _run_suite(cpus: int) -> tuple[dict, float, dict]:
     t0 = time.perf_counter()
     flagship_triples = build_stages(spark, SF_DIR)["triples"].count()
     flagship_cold = round(time.perf_counter() - t0, 3)
-    # steady-state: min of 2 runs — the throughput estimator should report
-    # the plan, not ambient host load (same min-of-N rule the scaling
-    # sessions use; r3's single-run number swung ±15% with tenant noise)
-    walls = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        build_stages(spark, SF_DIR)["triples"].count()
-        walls.append(time.perf_counter() - t0)
-    flagship_wall = round(min(walls), 3)
+    # steady-state: the shared min-of-2 estimator (flagship_steady_state)
+    flagship_triples, flagship_wall = flagship_steady_state(spark, SF_DIR, runs=2)
     t_suite = time.perf_counter()
     for name in HEADLINE:
         # cold run: includes shared-stage materialization (charged once,
@@ -94,7 +112,13 @@ def _run_suite(cpus: int) -> tuple[dict, float, dict]:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # record ambient host load before/after: this host carries variable
+    # external tenant load, and a loadavg line turns a "is this −13% a
+    # plan regression or noise?" adjudication into a 10-second read
+    # (VERDICT r4 next-step #3)
+    load_start = [round(x, 2) for x in os.getloadavg()]
     timings, total, counts, cold, flagship_wall, flagship_triples = _run_suite(CPUS)
+    load_end = [round(x, 2) for x in os.getloadavg()]
 
     n_docs = counts.get("text_quality", 0)  # one row per document
     triples_sec = round(flagship_triples / flagship_wall, 1) if flagship_wall else 0
@@ -111,6 +135,9 @@ def main() -> None:
         "rows": counts,
         "docs_per_sec": docs_sec,
         "triples_per_sec": triples_sec,
+        # 1/5/15-min loadavg at suite start and end (start reflects ambient
+        # tenant load; end includes this benchmark's own 32 threads)
+        "loadavg": {"start": load_start, "end": load_end},
         # r3: the pipeline front door is Treebank segmentation (the
         # correct tokenizer for web text; ~15-30% warm flagship cost vs
         # the whitespace splitter on this space-separated corpus)

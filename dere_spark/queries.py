@@ -2203,34 +2203,23 @@ _register_vectorize()
 
 
 # ---------------------------------------------------------------------------
-# Driver window curation (round 4).
+# Driver window curation (round 5 rotation).
 #
 # The external driver's CORRECTNESS artifact caps at the FIRST 50 queries in
 # registry order, so which operators receive the hard external signal is a
 # curation decision, not an accident (VERDICT r3 "What's wrong #2").
 # DRIVER_WINDOW is the explicit 50-slot ordering handed to the driver this
-# round: the 8 gates that have never (or no longer) had a green driver row
-# lead, followed by 42 keepers.  ROTATED_OUT names the 8 long-stable
-# relational gates parked outside the window — they remain registered and are
-# still oracle-checked locally every run by tests/test_oracle_parity.py.
-# Round 5 should rotate them back in (see NOTES.md).
+# round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
+# a driver row.  Round-5 swap: the 8 gates parked in r4 (last driver row:
+# CORRECTNESS_r03) rotate back in as the lead; the 8 gates that received
+# their first green rows in CORRECTNESS_r04 park for exactly one round.
+# ROTATED_OUT gates remain registered and are still oracle-checked locally
+# every run by tests/test_oracle_parity.py.
 # ---------------------------------------------------------------------------
 
 ROTATED_OUT: tuple = (
-    # Stable since r1/r2 with green driver rows in CORRECTNESS_r01-r03;
-    # parked to make room for the 8 never/no-longer driver-checked gates.
-    "doc_lang_dist",
-    "join_full_outer_orders",
-    "agg_pricing_summary",
-    "set_union_distinct",
-    "set_intersect_except",
-    "regex_class_rewrite",
-    "window_rank_kinds",
-    "events_json_extract",
-)
-
-_WINDOW_LEAD = (
-    # -- the 8 gates needing their first/renewed green CORRECTNESS row --
+    # Fresh green driver rows in CORRECTNESS_r04 (slots 1-8 that round);
+    # parked for one round so the r03-verified 8 regain recent rows.
     "sim_ivf_topk",
     "sim_kmeans_buckets",
     "sim_ivf_batch_topk",
@@ -2239,6 +2228,18 @@ _WINDOW_LEAD = (
     "skew_salted_counts",
     "dedup_embedding_pairs",
     "text_bow_counts",
+)
+
+_WINDOW_LEAD = (
+    # -- last driver row CORRECTNESS_r03; rotated back in for r05 rows --
+    "doc_lang_dist",
+    "join_full_outer_orders",
+    "agg_pricing_summary",
+    "set_union_distinct",
+    "set_intersect_except",
+    "regex_class_rewrite",
+    "window_rank_kinds",
+    "events_json_extract",
 )
 
 # lead gates first, then keepers in long-standing registry order, sliced

@@ -42,8 +42,14 @@ def test_driver_window_is_curated():
     assert len(DRIVER_WINDOW) == 50
     assert set(DRIVER_WINDOW).isdisjoint(ROTATED_OUT)
     assert set(DRIVER_WINDOW) | set(ROTATED_OUT) == set(QUERIES)
-    # the 8 gates that lacked a green driver row in CORRECTNESS_r03 lead
+    # r5 rotation: the 8 gates whose last driver row is CORRECTNESS_r03
+    # lead; the 8 freshly verified in CORRECTNESS_r04 are parked one round
     assert DRIVER_WINDOW[:8] == (
+        "doc_lang_dist", "join_full_outer_orders", "agg_pricing_summary",
+        "set_union_distinct", "set_intersect_except", "regex_class_rewrite",
+        "window_rank_kinds", "events_json_extract",
+    )
+    assert ROTATED_OUT == (
         "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
         "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
         "dedup_embedding_pairs", "text_bow_counts",
