@@ -106,7 +106,14 @@ def lsh_bands_fused(
     via array_min, and md5 the comma-joined minhashes. Cuts the LSH chain
     from 3 exchanges to 1 — at 100 TB the shuffle volume saved is 2x the
     signature table; r4 measured ~1.4x on the warm entity-canonicalization
-    and document-LSH bench queries (BASELINE.md r4)."""
+    and document-LSH bench queries (BASELINE.md r4).
+
+    Degenerate config ``bands > num_hashes``: the staged chain emits rows
+    only for bands that own at least one seed (seed % bands covers just
+    the first num_hashes bands), so the fused band loop is capped at
+    ``min(bands, num_hashes)`` — an uncapped loop would hand F.sequence a
+    start > stop and fail at runtime with an opaque 'Illegal sequence
+    boundaries' error (ADVICE r4)."""
     per_doc = shingle_df.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("_sh")
     )
@@ -132,7 +139,7 @@ def lsh_bands_fused(
                     F.struct(
                         F.lit(b).alias("band"), band_sig(b).alias("band_sig")
                     )
-                    for b in range(bands)
+                    for b in range(min(bands, num_hashes))
                 ]
             )
         ).alias("_b"),

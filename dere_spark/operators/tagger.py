@@ -370,11 +370,22 @@ def fit_viability_distributed(
     )
     try:
         head = compact.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("n_pos"),
+            F.count_distinct(*[F.col(k) for k in key]).alias("n_keys"),
         ).first()
         n = int(head["n"])
         if n == 0:
             raise ValueError("empty tagger training set")
+        # class weights, gradient normalization, and the per-row z all
+        # assume one design row per candidate key; duplicated keys would
+        # silently re-weight the fit (ADVICE r4) — fail loudly instead
+        if int(head["n_keys"]) != n:
+            raise ValueError(
+                f"tagger training set has duplicate candidate keys: "
+                f"{n} rows over {int(head['n_keys'])} distinct "
+                f"(doc_id, token_idx) — dedupe candidates before fitting"
+            )
         n_pos = max(float(head["n_pos"] or 0.0), 1.0)
         n_neg = max(float(n) - float(head["n_pos"] or 0.0), 1.0)
         sw_pos_raw = n_neg / n_pos
@@ -388,7 +399,15 @@ def fit_viability_distributed(
             # one constant array literal, built as a SQL string: F.lit(list)
             # pays ~2 s of py4j round-trips for 4096 elements, F.expr parses
             # JVM-side in ~5 ms; D-suffixed repr round-trips doubles
-            # bit-exactly (test-pinned parity)
+            # bit-exactly (test-pinned parity). repr of a non-finite float
+            # ('nan'/'inf') does NOT parse as a SQL double literal, so a
+            # diverged fit would die in an opaque AnalysisException —
+            # catch it here with an actionable message (ADVICE r4)
+            if not (np.isfinite(w).all() and np.isfinite(b)):
+                raise FloatingPointError(
+                    "tagger fit diverged to non-finite weights "
+                    f"(lr={lr}, l2={l2}); lower the learning rate"
+                )
             warr = F.expr(
                 "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
             )

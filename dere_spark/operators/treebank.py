@@ -140,15 +140,27 @@ def treebank_spans(text: str) -> List[Tuple[int, int]]:
 
     def tolerant() -> List[Tuple[int, int]]:
         # full realignment: every rewritten quote form inside any token
-        # may match any of its source spellings
+        # may match any of ITS possible source spellings (ADVICE r4). The
+        # spellings follow the nltk 3.3 quote rules: `` arises from ``,
+        # from a leading/post-bracket ", OR from a post-bracket '' (the
+        # STARTING_QUOTES rule ([(\[{<])("|'{2}) — fuzz case "''b``''");
+        # '' arises only from '' or " (no rule ever rewrites `` to '').
+        # The substitution is a SINGLE pass with a callback: sequential
+        # str.replace calls rewrote the '"' inside the just-inserted
+        # alternations, nesting them into (?:''|(?:``|''|")) and letting
+        # '' align to a source `` it can never come from.
+        quote_forms = {
+            "``": "(?:``|''|\")",
+            "''": "(?:''|\")",
+            '"': "(?:``|''|\")",
+        }
         point = 0
         out: List[Tuple[int, int]] = []
         for token in raw_tokens:
-            pat = (
-                re.escape(token)
-                .replace(re.escape("``"), "(?:``|\")")
-                .replace(re.escape("''"), "(?:''|\")")
-                .replace(re.escape('"'), "(?:``|''|\")")
+            pat = re.sub(
+                r"``|''|\"",
+                lambda m: quote_forms[m.group()],
+                re.escape(token),
             )
             m = re.compile(pat).search(text, point)
             if m is None:  # pragma: no cover - alignment truly impossible

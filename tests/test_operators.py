@@ -530,3 +530,28 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]
     assert all(len(r["frame_payload"]) == 32 for r in frames)
     assert all((r["width"], r["height"]) == (1920, 1080) for r in frames)
+
+
+def test_fused_lsh_matches_staged_when_bands_exceed_hashes(spark):
+    """ADVICE r4: bands > num_hashes used to crash lsh_bands_fused with an
+    opaque 'Illegal sequence boundaries' while the staged chain handled it
+    (bands owning no seed just emit no rows). The fused band loop is now
+    capped at min(bands, num_hashes); both paths must agree exactly."""
+    from dere_spark.operators.dedup import (
+        lsh_bands,
+        lsh_bands_fused,
+        minhash_signatures,
+    )
+
+    sh = spark.createDataFrame(
+        [(f"d{i}", f"sh{j}") for i in range(4) for j in range(6)],
+        "doc_id string, shingle string",
+    )
+    for num_hashes, bands in [(2, 4), (1, 3), (16, 4), (4, 4)]:
+        fused = lsh_bands_fused(sh, num_hashes, bands)
+        staged = lsh_bands(minhash_signatures(sh, num_hashes), bands)
+        assert fused.exceptAll(staged).count() == 0
+        assert staged.exceptAll(fused).count() == 0
+        # only bands that own >= 1 seed appear
+        n_bands = fused.select("band").distinct().count()
+        assert n_bands == min(bands, num_hashes)

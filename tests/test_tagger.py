@@ -174,3 +174,26 @@ def test_fit_viability_distributed_parallelism_invariant(spark):
     a = fit_viability_distributed(cands.repartition(2), iterations=3)
     b = fit_viability_distributed(cands.repartition(16, "token_idx"), iterations=3)
     assert a.weights == b.weights and a.bias == b.bias
+
+
+def test_fit_rejects_duplicate_candidate_keys(spark):
+    """ADVICE r4: class weights / gradient normalization silently change
+    if candidate keys repeat — the fit must refuse, not re-weight."""
+    from dere_spark.operators.tagger import fit_viability_distributed
+
+    cands = _synthetic_cands(spark, n=50)
+    dup = cands.unionByName(cands.limit(3))
+    with pytest.raises(ValueError, match="duplicate candidate keys"):
+        fit_viability_distributed(dup, iterations=1)
+
+
+def test_fit_divergence_fails_with_actionable_message(spark):
+    """ADVICE r4: a diverged weight vector would reach repr(float)='inf'
+    inside the F.expr literal and die in an opaque AnalysisException; the
+    fit must instead name the learning rate."""
+    from dere_spark.operators.tagger import fit_viability_distributed
+
+    cands = _synthetic_cands(spark, n=80)
+    with pytest.raises(FloatingPointError, match="diverged.*lr=1e\\+300"):
+        # lr*l2 overflows the weight-decay term to inf within 2 steps
+        fit_viability_distributed(cands, iterations=5, lr=1e300, l2=1e10)

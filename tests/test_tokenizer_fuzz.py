@@ -80,3 +80,41 @@ def test_treebank_sql_matches_arrow_kernel_on_fuzz(spark, seed):
     b = tokenize_treebank(docs).select(cols)
     delta = a.exceptAll(b).unionByName(b.exceptAll(a)).limit(10).collect()
     assert not delta, f"strategy divergence: {delta}"
+
+
+def test_tolerant_aligner_quote_spellings_are_directional():
+    """ADVICE r4: the tolerant realignment pattern must let each rewritten
+    quote form match only ITS possible source spellings. Per the nltk-3.3
+    quote rules, `` may come from ``, ", or a post-bracket '' — but ''
+    may come only from '' or ", never from ``. The old sequential-replace
+    pattern construction nested the alternations and allowed both."""
+    from dere_spark.operators.treebank import treebank_spans
+
+    # `` <- '': the STARTING_QUOTES bracket rule converts the final '' of
+    # this text into a `` token; strict alignment fails, tolerant must map
+    # the token back onto the literal '' source characters
+    text = "''b``''"
+    spans = treebank_spans(text)
+    assert [text[a:b] for a, b in spans] == ["''b", "``", "''"]
+
+    # '' must never land on `` source: fuzz 20k random quote-dense texts
+    # through the full spans path and assert no ''-bearing token ever
+    # aligns onto source text containing `` (the old nested pattern did)
+    import random
+
+    from dere_spark.operators.treebank import treebank_tokens
+
+    random.seed(11)
+    alpha = ['"', "''", "``", "a", "b", " ", "(", "'"]
+    for _ in range(20000):
+        t = "".join(random.choice(alpha) for _ in range(random.randint(3, 9)))
+        try:
+            toks = treebank_tokens(t)
+            spans = treebank_spans(t)
+        except ValueError:
+            continue  # truly unalignable adversarial input
+        for tok, (a, b) in zip(toks, spans):
+            if "''" in tok:
+                assert "``" not in t[a:b], (
+                    f"'' token {tok!r} aligned onto `` source in {t!r}"
+                )
