@@ -1663,40 +1663,64 @@ def calibrate_type_thresholds(
     small grid, one type at a time in sorted order; a type keeps 0.0
     (no extra threshold) unless raising it improves train F1.
 
-    Inputs are tiny (an annotated train corpus); each step is three
-    counts over localCheckpointed frames. Measured r4: train span F1
-    0.7681 -> 0.7794, held-out 0.4773 -> 0.506 span / 0.1778 -> 0.1882
-    frame (A/B in BASELINE.md — improves train AND held-out, so it is
-    calibration, not test tuning)."""
+    Physical shape (VERDICT r4 "What's wrong #2" — was a driver-
+    orchestrated job storm of ~types*grid*3 sequential tiny counts): ONE
+    count over gold plus ONE aggregation over predictions. Predictions
+    collapse to distinct spans keyed with their MAX score (a span survives
+    a per-type threshold th iff any of its rows scores >= th, i.e. iff
+    max >= th — identical to the old filter-then-distinct), get a TP mark
+    from a gold join, and groupBy(span_type) emits survivor/TP counts at
+    every grid threshold. The greedy coordinate ascent then runs entirely
+    driver-side on those integers — same visit order, same F1 arithmetic,
+    same 1e-6 improvement rule, so the learned thresholds are identical
+    (pinned by test on the tutorial corpus: 0.8 Localization / 0.6
+    Positive_regulation).
+
+    Measured r4 quality: train span F1 0.7681 -> 0.7794, held-out 0.4773
+    -> 0.506 span / 0.1778 -> 0.1882 frame (A/B in BASELINE.md — improves
+    train AND held-out, so it is calibration, not test tuning)."""
+    key = ["doc_id", "instance_idx", "span_type", "left", "right"]
     gold = (
         train["spans"].where(F.col("source") == "gold")
-        .select("doc_id", "instance_idx", "span_type", "left", "right")
+        .select(*key)
         .distinct()
-        .localCheckpoint()
     )
     n_gold = gold.count()
-    pred = (
-        triggers_train.select(
-            "doc_id", "instance_idx", "span_type", "left", "right", "score"
-        )
-        .localCheckpoint()
+
+    marked = (
+        triggers_train.select(*key, "score")
+        .groupBy(*key)
+        .agg(F.max("score").alias("_smax"))
+        .join(gold.withColumn("_g", F.lit(1)), key, "left")
+        .withColumn("_tp", F.col("_g").isNotNull())
     )
+    thresholds = (0.0,) + tuple(grid)
+    aggs = []
+    for i, th in enumerate(thresholds):
+        # th == 0.0 means "no filter" in the old semantics — count all
+        survives = F.lit(True) if th == 0.0 else (F.col("_smax") >= F.lit(float(th)))
+        aggs.append(F.sum(F.when(survives, 1).otherwise(0)).alias(f"p{i}"))
+        aggs.append(
+            F.sum(F.when(survives & F.col("_tp"), 1).otherwise(0)).alias(f"t{i}")
+        )
+    rows = marked.groupBy("span_type").agg(*aggs).collect()
+    pred_at = {
+        r["span_type"]: {th: int(r[f"p{i}"]) for i, th in enumerate(thresholds)}
+        for r in rows
+    }
+    tp_at = {
+        r["span_type"]: {th: int(r[f"t{i}"]) for i, th in enumerate(thresholds)}
+        for r in rows
+    }
 
     def f1(thr: Dict[str, float]) -> float:
-        p = pred
-        for ty, th in thr.items():
-            if th > 0:
-                p = p.where(~((F.col("span_type") == ty) & (F.col("score") < th)))
-        p = p.drop("score").distinct()
-        n_pred = p.count()
-        tp = p.join(
-            gold, ["doc_id", "instance_idx", "span_type", "left", "right"]
-        ).count()
+        n_pred = sum(pred_at[t][thr[t]] for t in pred_at)
+        tp = sum(tp_at[t][thr[t]] for t in tp_at)
         prec = tp / n_pred if n_pred else 0.0
         rec = tp / n_gold if n_gold else 0.0
         return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
 
-    types = sorted(r["span_type"] for r in pred.select("span_type").distinct().collect())
+    types = sorted(pred_at)
     best: Dict[str, float] = {t: 0.0 for t in types}
     cur = f1(best)
     for t in types:
