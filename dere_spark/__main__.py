@@ -81,6 +81,7 @@ def cmd_predict(args) -> int:
             raise SystemExit("--tagger needs a training corpus, not --model-dir")
         from dere_spark.bionlp import (
             calibrate_type_thresholds,
+            calibrate_unseen_thresholds,
             detect_triggers_tagged,
             train_trigger_tagger,
         )
@@ -88,8 +89,13 @@ def cmd_predict(args) -> int:
         model, ttable, rates, ref_gaz = train_trigger_tagger(spark, train)
         trig_train = detect_triggers_tagged(train, model, ttable, rates, ref_gaz)
         thresholds = calibrate_type_thresholds(train, trig_train)
+        unseen = calibrate_unseen_thresholds(
+            spark, train, model, ttable, rates, ref_gaz,
+            type_thresholds=thresholds,
+        )
         triggers = detect_triggers_tagged(
-            corpus, model, ttable, rates, ref_gaz, type_thresholds=thresholds
+            corpus, model, ttable, rates, ref_gaz,
+            type_thresholds=thresholds, unseen_thresholds=unseen,
         )
     hypo = predicted_corpus(spark, corpus, spec, gaz, triggers=triggers)
     os.makedirs(args.out, exist_ok=True)

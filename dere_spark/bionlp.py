@@ -1639,10 +1639,42 @@ def train_trigger_tagger(
     labels = _gold_trigger_starts(train, toks)
     totals = surface_rates(toks, labels)
     own = surface_rates(toks, labels, unit_col="src_doc")
-    cands = candidate_features(toks, gaz, totals, own, "src_doc")
-    labeled = cands.join(
-        labels.withColumn("label", F.lit(1)), ["doc_id", "token_idx"], "left"
-    ).withColumn("label", F.coalesce("label", F.lit(0)))
+    # hyphen_subtokens=False: the FIT's candidate universe stays whole-
+    # token (train has ~zero embedded-gold signal — 1 example, not even
+    # hyphenated — so training on subtoken rows only perturbs the weights;
+    # measured A/B in BASELINE.md r5 probe B: refitting with subtokens
+    # added ~8 main-token FPs on held-out). Subtokens are emitted at
+    # PREDICT time only and scored by this same model; the calibrations
+    # then see them through trig_train and can gate them per type.
+    cands = candidate_features(
+        toks, gaz, totals, own, "src_doc", hyphen_subtokens=False
+    )
+    # label by OFFSETS, not token_idx: for whole-token candidates this is
+    # identical to the old token_idx join because the labels themselves
+    # were derived from the same offset equality; it also labels any
+    # future non-whole-token candidate class correctly
+    gold_off = (
+        train["spans"].where(F.col("source") == "gold")
+        .select(
+            F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"),
+            F.col("left").alias("_g_left"),
+            F.col("right").alias("_g_right"),
+        )
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    labeled = (
+        cands.join(
+            gold_off,
+            (cands["doc_id"] == gold_off["doc_id"])
+            & (cands["tleft"] == gold_off["_g_left"])
+            & (cands["tright"] == gold_off["_g_right"]),
+            "left",
+        )
+        .drop(gold_off["doc_id"])
+        .drop("_g_left", "_g_right")
+        .withColumn("label", F.coalesce("label", F.lit(0)))
+    )
     model = fit_viability(labeled, **fit_kw)
     surfaces = train["spans"].where(F.col("source") == "gold").select(
         F.lower("text").alias("term"), "span_type"
@@ -1733,6 +1765,131 @@ def calibrate_type_thresholds(
     return {t: th for t, th in best.items() if th > 0}
 
 
+def calibrate_unseen_thresholds(
+    spark: SparkSession,
+    train: Dict[str, DataFrame],
+    model,
+    type_table: DataFrame,
+    rates: DataFrame,
+    gazetteer: DataFrame,
+    type_thresholds: Dict[str, float] | None = None,
+    grid: tuple = (0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+) -> Dict[str, float]:
+    """Per-type UNSEEN-candidate viability gates, tuned on TRAIN only
+    (VERDICT r4 next-step #7a): the global unseen gate (0.75) was never
+    per-type tuned — some types predict unseen surfaces reliably at much
+    lower confidence (Phosphorylation) while others need more (Binding,
+    Localization).
+
+    On standard train detection every candidate is "seen" (its surface
+    occurs in train by construction), so the calibration corpus is the
+    CROSS-FITTED detection: each train document's candidates are scored
+    with leave-own-document-out rates (operators/tagger.py surface_rates
+    unit_col) — surfaces occurring only in their own document become
+    unseen for it, exactly the way held-out surfaces are. This is the
+    same cross-fitting the fit itself uses; nothing from the eval corpus
+    is touched.
+
+    Physical shape: one gold count + ONE aggregation (per (span_type,
+    seen) survivor/TP counts at every grid threshold); the greedy ascent
+    over unseen gates runs driver-side. Seen candidates keep their fixed
+    gate max(model.threshold_seen, per-type floor) throughout. Returns
+    only the types whose learned unseen gate differs from the default
+    max(model.threshold_unseen, floor); loosening below the global 0.75
+    is allowed (and learned, e.g. Phosphorylation 0.55 on the tutorial
+    corpus).
+
+    Measured r5 (tutorial corpus): cross-fitted train span F1 0.7862 ->
+    0.8219, held-out span F1 0.506 -> 0.5122 (A/B in BASELINE.md —
+    improves the train-side objective AND held-out)."""
+    from dere_spark.operators.tagger import (
+        candidate_features,
+        score_candidates,
+        surface_rates,
+    )
+
+    floors = type_thresholds or {}
+    toks = tagger_tokens(train)
+    labels = _gold_trigger_starts(train, toks)
+    own = surface_rates(toks, labels, unit_col="src_doc")
+    cands = candidate_features(toks, gazetteer, rates, own, "src_doc")
+    scored = score_candidates(cands, model)  # keep ALL hits: custom gates
+    typed = scored.join(
+        F.broadcast(type_table), scored["low"] == type_table["term"], "inner"
+    )
+    spans = typed.select(
+        "doc_id", "span_type",
+        F.col("tleft").alias("left"), F.col("tright").alias("right"),
+        "seen", F.col("viability").alias("score"),
+    )
+    # gold keyed the same way (tagger doc_id is "<doc>#<instance>")
+    key = ["doc_id", "span_type", "left", "right"]
+    gold = (
+        train["spans"].where(F.col("source") == "gold")
+        .select(
+            F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"),
+            "span_type", "left", "right",
+        )
+        .distinct()
+    )
+    n_gold = gold.count()
+
+    thresholds = tuple(sorted(
+        set(grid)
+        | {float(model.threshold_seen), float(model.threshold_unseen)}
+        | {max(float(model.threshold_seen), th) for th in floors.values()}
+        | {max(float(model.threshold_unseen), th) for th in floors.values()}
+    ))
+    aggs = []
+    for i, th in enumerate(thresholds):
+        survives = F.col("_smax") >= F.lit(float(th))
+        aggs.append(F.sum(F.when(survives, 1).otherwise(0)).alias(f"p{i}"))
+        aggs.append(
+            F.sum(F.when(survives & F.col("_tp"), 1).otherwise(0)).alias(f"t{i}")
+        )
+    rows = (
+        spans.groupBy(*key)
+        .agg(F.max("score").alias("_smax"), F.max("seen").alias("seen"))
+        .join(gold.withColumn("_g", F.lit(1)), key, "left")
+        .withColumn("_tp", F.col("_g").isNotNull())
+        .groupBy("span_type", "seen")
+        .agg(*aggs)
+        .collect()
+    )
+    counts = {
+        (r["span_type"], bool(r["seen"])): {
+            th: (int(r[f"p{i}"]), int(r[f"t{i}"]))
+            for i, th in enumerate(thresholds)
+        }
+        for r in rows
+    }
+    types = sorted({t for t, _ in counts})
+    s_def = {t: max(float(model.threshold_seen), floors.get(t, 0.0)) for t in types}
+    u_def = {t: max(float(model.threshold_unseen), floors.get(t, 0.0)) for t in types}
+
+    def f1(u: Dict[str, float]) -> float:
+        n_pred = tp = 0
+        for t in types:
+            p_s, t_s = counts.get((t, True), {}).get(s_def[t], (0, 0))
+            p_u, t_u = counts.get((t, False), {}).get(u[t], (0, 0))
+            n_pred += p_s + p_u
+            tp += t_s + t_u
+        prec = tp / n_pred if n_pred else 0.0
+        rec = tp / n_gold if n_gold else 0.0
+        return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+    best = dict(u_def)
+    cur = f1(best)
+    for t in types:
+        for cand in grid:
+            trial = dict(best)
+            trial[t] = float(cand)
+            score = f1(trial)
+            if score > cur + 1e-6:
+                cur, best = score, trial
+    return {t: th for t, th in best.items() if th != u_def[t]}
+
+
 def detect_triggers_tagged(
     corpus: Dict[str, DataFrame],
     model,
@@ -1740,18 +1897,53 @@ def detect_triggers_tagged(
     rates: DataFrame,
     gazetteer: DataFrame,
     type_thresholds: Dict[str, float] | None = None,
+    unseen_thresholds: Dict[str, float] | None = None,
 ) -> DataFrame:
     """Predict triggers with the trained tagger — corpus span shape,
     drop-in for detect_triggers. Scoring is the broadcast-join path
     (operators/tagger.py score_candidates): no collect, no UDF.
     ``type_thresholds`` (from calibrate_type_thresholds) adds per-type
-    minimum viability scores on top of the model's global gates —
-    applied as a broadcast-dimension join, still zero UDF."""
+    minimum viability scores on top of the model's global gates;
+    ``unseen_thresholds`` (from calibrate_unseen_thresholds) REPLACES the
+    global unseen gate per type — it may tighten or loosen, so when
+    present the model's own viable flag is superseded by the per-type
+    gate dimension. Both are broadcast-dimension joins, still zero UDF."""
     from dere_spark.operators.tagger import candidate_features, score_candidates
 
     toks = tagger_tokens(corpus)
     cands = candidate_features(toks, gazetteer, rates)
-    viable = score_candidates(cands, model).where(F.col("viable"))
+    scored = score_candidates(cands, model)
+    if unseen_thresholds:
+        # per-type seen/unseen gate table; defaults reproduce the plain
+        # viable flag + type_thresholds path exactly for absent types
+        floors = type_thresholds or {}
+        types = sorted(set(floors) | set(unseen_thresholds))
+        s_base = float(model.threshold_seen)
+        u_base = float(model.threshold_unseen)
+        gate_rows = [
+            (
+                t,
+                max(s_base, floors.get(t, 0.0)),
+                unseen_thresholds.get(t, max(u_base, floors.get(t, 0.0))),
+            )
+            for t in types
+        ]
+        spark = scored.sparkSession
+        gates = spark.createDataFrame(
+            gate_rows, "span_type string, s_thr double, u_thr double"
+        )
+        typed = scored.join(
+            F.broadcast(type_table), scored["low"] == type_table["term"], "inner"
+        ).join(F.broadcast(gates), "span_type", "left")
+        gate = F.when(
+            F.col("seen"), F.coalesce("s_thr", F.lit(s_base))
+        ).otherwise(F.coalesce("u_thr", F.lit(u_base)))
+        return _trigger_span_shape(
+            _suppress_covered_subtokens(
+                typed.where(F.col("viability") >= gate).drop("s_thr", "u_thr")
+            )
+        )
+    viable = scored.where(F.col("viable"))
     typed = viable.join(
         F.broadcast(type_table), viable["low"] == type_table["term"], "inner"
     )
@@ -1768,6 +1960,31 @@ def detect_triggers_tagged(
             )
             .drop("min_score")
         )
+    return _trigger_span_shape(_suppress_covered_subtokens(typed))
+
+
+def _suppress_covered_subtokens(typed: DataFrame) -> DataFrame:
+    """Longest-match-wins over gated trigger candidates: a hyphen-subtoken
+    prediction (synthetic negative token_idx, see candidate_features) is
+    dropped when its HOST token also survived the gates — the reference
+    CRF emits non-overlapping BIO spans, so two nested trigger spans can
+    never coexist in its output. Measured r5 (BASELINE.md probe B): keeps
+    the 3 embedded "induced" TPs (hosts like "gp41-induced" are not
+    gazetteer terms) while killing the "regulation"-inside-"up-regulation"
+    FPs whose hosts fire."""
+    main = typed.where(F.col("token_idx") >= 0)
+    sub = typed.where(F.col("token_idx") < 0)
+    host_keys = main.select("doc_id", F.col("token_idx").alias("_h_idx")).distinct()
+    sub_kept = (
+        sub.withColumn("_h_idx", -F.col("token_idx") - F.lit(1))
+        .join(host_keys, ["doc_id", "_h_idx"], "left_anti")
+        .drop("_h_idx")
+    )
+    return main.unionByName(sub_kept)
+
+
+def _trigger_span_shape(typed: DataFrame) -> DataFrame:
+    """Gated typed candidates -> the corpus trigger-span shape."""
     return typed.select(
         F.split_part("doc_id", F.lit("#"), F.lit(1)).alias("doc_id"),
         F.split_part("doc_id", F.lit("#"), F.lit(2)).cast("int").alias("instance_idx"),
@@ -1789,16 +2006,21 @@ def run_bionlp_eval_tagged(
     **fit_kw,
 ) -> EvalResult:
     """Full tagged path: learned viability tagger triggers + per-type
-    score calibration (tuned on train only) + the nested frame machinery
-    (run_bionlp_eval_nested with injected triggers)."""
+    score calibration + per-type unseen-gate calibration (both tuned on
+    train only) + the nested frame machinery (run_bionlp_eval_nested
+    with injected triggers)."""
     spec = load_task_spec(BIONLP_SPEC)
     train = load_brat(spark, train_dir, spec)
     model, ttable, rates, gaz = train_trigger_tagger(spark, train, **fit_kw)
     trig_train = detect_triggers_tagged(train, model, ttable, rates, gaz)
     thresholds = calibrate_type_thresholds(train, trig_train)
+    unseen = calibrate_unseen_thresholds(
+        spark, train, model, ttable, rates, gaz, type_thresholds=thresholds
+    )
     gold = load_brat(spark, eval_dir, spec)
     triggers = detect_triggers_tagged(
-        gold, model, ttable, rates, gaz, type_thresholds=thresholds
+        gold, model, ttable, rates, gaz,
+        type_thresholds=thresholds, unseen_thresholds=unseen,
     )
     return run_bionlp_eval_nested(
         spark, train_dir, eval_dir,

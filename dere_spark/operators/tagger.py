@@ -93,6 +93,7 @@ def candidate_features(
     own_rates: DataFrame | None = None,
     unit_col: str | None = None,
     dim: int = FEATURE_DIM,
+    hyphen_subtokens: bool = True,
 ) -> DataFrame:
     """Gazetteer-hit candidates with hashed feature-id arrays — all JVM.
 
@@ -107,6 +108,16 @@ def candidate_features(
     own unit's counts, so surfaces unique to one document train as
     genuinely unseen (totals-minus-own needs no per-document loop and no
     term x unit cross product).
+
+    ``hyphen_subtokens`` (r5 probe B, adopted): web/biomedical text glues
+    triggers into hyphen compounds ("gp41-induced") that the tokenizer
+    correctly keeps whole, so the gold trigger inside can never align to
+    a token candidate. When enabled, every hyphenated non-protein token
+    also yields a candidate for its after-last-hyphen segment (offsets of
+    the segment, context features of the host token, a "sub" marker
+    feature, token_idx = -(host_idx+1) so candidate keys stay unique).
+    Measured on the tutorial corpus: held-out span F1 0.5122 -> see
+    BASELINE.md r5 probe B.
 
     Output: (doc_id, token_idx, low, tleft, tright, seen, fids).
     """
@@ -124,6 +135,20 @@ def candidate_features(
             .cast("boolean"),
         )
     )
+    if hyphen_subtokens:
+        seg = F.element_at(F.split(F.col("core"), "-"), -1)
+        sub = (
+            toks.where(
+                F.col("low").contains("-")
+                & ~F.col("is_protein")
+                & (F.length(seg) > 0)
+            )
+            .withColumn("core", seg)
+            .withColumn("low", F.lower(seg))
+            .withColumn("tleft", F.col("tright") - F.length(seg))
+            .withColumn("token_idx", -(F.col("token_idx") + F.lit(1)))
+        )
+        toks = toks.unionByName(sub)
     # the Porter stem depends only on the surface and every candidate IS a
     # gazetteer surface, so stems are computed ONCE on the tiny gazetteer
     # dimension (existing F4 Arrow kernel) and broadcast in — the
@@ -204,6 +229,9 @@ def candidate_features(
         opt(F.col("core").rlike("^[A-Z]"), "cap"),
         opt(low.contains("-"), "hyp"),
         opt(F.length(low) <= 3, "short"),
+        # hyphen-subtoken candidates (negative synthetic idx) get their
+        # own marker so the model can learn a subtoken-specific prior
+        opt(F.col("token_idx") < 0, "sub"),
     )
     return cands.select(
         "doc_id",
