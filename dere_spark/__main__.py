@@ -86,12 +86,14 @@ def cmd_predict(args) -> int:
             train_trigger_tagger,
         )
 
-        model, ttable, rates, ref_gaz = train_trigger_tagger(spark, train)
+        model, ttable, rates, ref_gaz, toks, own = train_trigger_tagger(
+            spark, train, return_intermediates=True
+        )
         trig_train = detect_triggers_tagged(train, model, ttable, rates, ref_gaz)
         thresholds = calibrate_type_thresholds(train, trig_train)
         unseen = calibrate_unseen_thresholds(
-            spark, train, model, ttable, rates, ref_gaz,
-            type_thresholds=thresholds,
+            train, model, ttable, rates, ref_gaz,
+            type_thresholds=thresholds, toks=toks, own=own,
         )
         triggers = detect_triggers_tagged(
             corpus, model, ttable, rates, ref_gaz,

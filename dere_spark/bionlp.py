@@ -1617,6 +1617,7 @@ def train_trigger_tagger(
     spark: SparkSession,
     train: Dict[str, DataFrame],
     gazetteer: DataFrame | None = None,
+    return_intermediates: bool = False,
     **fit_kw,
 ):
     """Fit the viability tagger on a loaded BRAT train corpus.
@@ -1625,6 +1626,11 @@ def train_trigger_tagger(
     `detect_triggers_tagged` needs. Training candidates see CROSS-FITTED
     per-surface rates (leave-own-document-out, computed relationally) so
     unseen-surface features carry learned weight.
+
+    ``return_intermediates=True`` appends (toks, own_rates) to the tuple
+    so `calibrate_unseen_thresholds` can reuse them instead of
+    re-tokenizing the corpus (the localCheckpointed toks below exist
+    precisely because these plans are the expensive part of training).
     """
     from dere_spark.operators.tagger import (
         candidate_features,
@@ -1680,6 +1686,8 @@ def train_trigger_tagger(
         F.lower("text").alias("term"), "span_type"
     )
     ttable = type_assignment(gaz, surfaces).localCheckpoint()
+    if return_intermediates:
+        return model, ttable, totals.localCheckpoint(), gaz, toks, own
     return model, ttable, totals.localCheckpoint(), gaz
 
 
@@ -1766,7 +1774,6 @@ def calibrate_type_thresholds(
 
 
 def calibrate_unseen_thresholds(
-    spark: SparkSession,
     train: Dict[str, DataFrame],
     model,
     type_table: DataFrame,
@@ -1774,6 +1781,8 @@ def calibrate_unseen_thresholds(
     gazetteer: DataFrame,
     type_thresholds: Dict[str, float] | None = None,
     grid: tuple = (0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+    toks: DataFrame | None = None,
+    own: DataFrame | None = None,
 ) -> Dict[str, float]:
     """Per-type UNSEEN-candidate viability gates, tuned on TRAIN only
     (VERDICT r4 next-step #7a): the global unseen gate (0.75) was never
@@ -1790,14 +1799,24 @@ def calibrate_unseen_thresholds(
     same cross-fitting the fit itself uses; nothing from the eval corpus
     is touched.
 
-    Physical shape: one gold count + ONE aggregation (per (span_type,
-    seen) survivor/TP counts at every grid threshold); the greedy ascent
-    over unseen gates runs driver-side. Seen candidates keep their fixed
-    gate max(model.threshold_seen, per-type floor) throughout. Returns
-    only the types whose learned unseen gate differs from the default
-    max(model.threshold_unseen, floor); loosening below the global 0.75
-    is allowed (and learned, e.g. Phosphorylation 0.55 on the tutorial
-    corpus).
+    Physical shape: one gold count + ONE aggregation collecting the
+    distinct predicted spans (bounded by gazetteer hits on the ANNOTATED
+    corpus — annotation size, not web scale, bounds the collect); the
+    greedy ascent evaluates F1 driver-side over those rows. Per-row
+    evaluation (rather than a per-threshold count matrix) is required
+    for fidelity to deployment: `_suppress_covered_subtokens` drops a
+    hyphen-subtoken prediction whenever its HOST token survives, and the
+    host's survival depends on the host type's gate — a cross-type
+    coupling a (span_type, seen, threshold) count matrix cannot express.
+    Seen candidates keep their fixed gate max(model.threshold_seen,
+    per-type floor) throughout. Returns only the types whose learned
+    unseen gate differs from the default max(model.threshold_unseen,
+    floor); loosening below the global 0.75 is allowed (and learned,
+    e.g. Phosphorylation 0.55 on the tutorial corpus).
+
+    ``toks``/``own`` accept the intermediates `train_trigger_tagger`
+    already computed (return_intermediates=True) so the hot training
+    path tokenizes the corpus once, not twice.
 
     Measured r5 (tutorial corpus): cross-fitted train span F1 0.7862 ->
     0.8219, held-out span F1 0.506 -> 0.5122 (A/B in BASELINE.md —
@@ -1809,9 +1828,10 @@ def calibrate_unseen_thresholds(
     )
 
     floors = type_thresholds or {}
-    toks = tagger_tokens(train)
-    labels = _gold_trigger_starts(train, toks)
-    own = surface_rates(toks, labels, unit_col="src_doc")
+    if toks is None:
+        toks = tagger_tokens(train).localCheckpoint()
+    if own is None:
+        own = surface_rates(toks, _gold_trigger_starts(train, toks), unit_col="src_doc")
     cands = candidate_features(toks, gazetteer, rates, own, "src_doc")
     scored = score_candidates(cands, model)  # keep ALL hits: custom gates
     typed = scored.join(
@@ -1820,7 +1840,19 @@ def calibrate_unseen_thresholds(
     spans = typed.select(
         "doc_id", "span_type",
         F.col("tleft").alias("left"), F.col("tright").alias("right"),
-        "seen", F.col("viability").alias("score"),
+        "seen", F.col("viability").alias("score"), "token_idx",
+    )
+    # host-survival dimension for subtoken fidelity: one row per main
+    # candidate token (type_assignment gives one type per surface, so
+    # one type per token)
+    hosts = (
+        spans.where(F.col("token_idx") >= 0)
+        .groupBy("doc_id", F.col("token_idx").alias("_h_idx"))
+        .agg(
+            F.max("score").alias("_h_smax"),
+            F.max("seen").alias("_h_seen"),
+            F.max("span_type").alias("_h_type"),
+        )
     )
     # gold keyed the same way (tagger doc_id is "<doc>#<instance>")
     key = ["doc_id", "span_type", "left", "right"]
@@ -1834,46 +1866,46 @@ def calibrate_unseen_thresholds(
     )
     n_gold = gold.count()
 
-    thresholds = tuple(sorted(
-        set(grid)
-        | {float(model.threshold_seen), float(model.threshold_unseen)}
-        | {max(float(model.threshold_seen), th) for th in floors.values()}
-        | {max(float(model.threshold_unseen), th) for th in floors.values()}
-    ))
-    aggs = []
-    for i, th in enumerate(thresholds):
-        survives = F.col("_smax") >= F.lit(float(th))
-        aggs.append(F.sum(F.when(survives, 1).otherwise(0)).alias(f"p{i}"))
-        aggs.append(
-            F.sum(F.when(survives & F.col("_tp"), 1).otherwise(0)).alias(f"t{i}")
-        )
     rows = (
         spans.groupBy(*key)
-        .agg(F.max("score").alias("_smax"), F.max("seen").alias("seen"))
+        .agg(
+            F.max("score").alias("_smax"),
+            F.max("seen").alias("seen"),
+            F.min("token_idx").alias("_tmin"),
+        )
+        # a span key is purely main or purely sub (sub offsets lie inside
+        # their host token; tokens don't overlap), so _tmin identifies it
+        .withColumn(
+            "_h_idx",
+            F.when(F.col("_tmin") < 0, -F.col("_tmin") - F.lit(1)),
+        )
+        .join(hosts, ["doc_id", "_h_idx"], "left")
         .join(gold.withColumn("_g", F.lit(1)), key, "left")
         .withColumn("_tp", F.col("_g").isNotNull())
-        .groupBy("span_type", "seen")
-        .agg(*aggs)
+        .select(
+            "span_type", "seen", "_smax", "_tp",
+            (F.col("_tmin") < 0).alias("_is_sub"),
+            "_h_type", "_h_seen", "_h_smax",
+        )
         .collect()
     )
-    counts = {
-        (r["span_type"], bool(r["seen"])): {
-            th: (int(r[f"p{i}"]), int(r[f"t{i}"]))
-            for i, th in enumerate(thresholds)
-        }
-        for r in rows
-    }
-    types = sorted({t for t, _ in counts})
+    types = sorted({r["span_type"] for r in rows})
     s_def = {t: max(float(model.threshold_seen), floors.get(t, 0.0)) for t in types}
     u_def = {t: max(float(model.threshold_unseen), floors.get(t, 0.0)) for t in types}
 
     def f1(u: Dict[str, float]) -> float:
         n_pred = tp = 0
-        for t in types:
-            p_s, t_s = counts.get((t, True), {}).get(s_def[t], (0, 0))
-            p_u, t_u = counts.get((t, False), {}).get(u[t], (0, 0))
-            n_pred += p_s + p_u
-            tp += t_s + t_u
+        for r in rows:
+            g = s_def[r["span_type"]] if r["seen"] else u[r["span_type"]]
+            if r["_smax"] < g:
+                continue
+            if r["_is_sub"] and r["_h_type"] is not None:
+                # deployment parity: the gated host suppresses its subtoken
+                hg = s_def[r["_h_type"]] if r["_h_seen"] else u[r["_h_type"]]
+                if r["_h_smax"] >= hg:
+                    continue
+            n_pred += 1
+            tp += int(r["_tp"])
         prec = tp / n_pred if n_pred else 0.0
         rec = tp / n_gold if n_gold else 0.0
         return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
@@ -2011,11 +2043,14 @@ def run_bionlp_eval_tagged(
     with injected triggers)."""
     spec = load_task_spec(BIONLP_SPEC)
     train = load_brat(spark, train_dir, spec)
-    model, ttable, rates, gaz = train_trigger_tagger(spark, train, **fit_kw)
+    model, ttable, rates, gaz, toks, own = train_trigger_tagger(
+        spark, train, return_intermediates=True, **fit_kw
+    )
     trig_train = detect_triggers_tagged(train, model, ttable, rates, gaz)
     thresholds = calibrate_type_thresholds(train, trig_train)
     unseen = calibrate_unseen_thresholds(
-        spark, train, model, ttable, rates, gaz, type_thresholds=thresholds
+        train, model, ttable, rates, gaz,
+        type_thresholds=thresholds, toks=toks, own=own,
     )
     gold = load_brat(spark, eval_dir, spec)
     triggers = detect_triggers_tagged(

@@ -114,10 +114,14 @@ def candidate_features(
     correctly keeps whole, so the gold trigger inside can never align to
     a token candidate. When enabled, every hyphenated non-protein token
     also yields a candidate for its after-last-hyphen segment (offsets of
-    the segment, context features of the host token, a "sub" marker
-    feature, token_idx = -(host_idx+1) so candidate keys stay unique).
-    Measured on the tutorial corpus: held-out span F1 0.5122 -> see
-    BASELINE.md r5 probe B.
+    the segment, context features of the host token, token_idx =
+    -(host_idx+1) so candidate keys stay unique). Subtokens carry NO
+    marker feature: the shipped fit runs hyphen_subtokens=False, so a
+    fit-invisible feature's hash bucket would only contribute whatever
+    weight an unrelated trained feature left there (measured r5: bucket
+    732 held -0.065; removing the marker changed nothing held-out —
+    A/B in BASELINE.md). Measured on the tutorial corpus: held-out span
+    F1 0.5122 -> see BASELINE.md r5 probe B.
 
     Output: (doc_id, token_idx, low, tleft, tright, seen, fids).
     """
@@ -229,9 +233,6 @@ def candidate_features(
         opt(F.col("core").rlike("^[A-Z]"), "cap"),
         opt(low.contains("-"), "hyp"),
         opt(F.length(low) <= 3, "short"),
-        # hyphen-subtoken candidates (negative synthetic idx) get their
-        # own marker so the model can learn a subtoken-specific prior
-        opt(F.col("token_idx") < 0, "sub"),
     )
     return cands.select(
         "doc_id",

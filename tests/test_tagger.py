@@ -257,7 +257,7 @@ def test_calibrate_unseen_thresholds_tutorial_values(spark):
     trig = detect_triggers_tagged(train, model, ttable, rates, gaz)
     thr = calibrate_type_thresholds(train, trig)
     unseen = calibrate_unseen_thresholds(
-        spark, train, model, ttable, rates, gaz, type_thresholds=thr
+        train, model, ttable, rates, gaz, type_thresholds=thr
     )
     assert unseen == {
         "Binding": 0.8,
