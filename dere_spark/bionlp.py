@@ -1718,7 +1718,17 @@ def calibrate_type_thresholds(
 
     Measured r4 quality: train span F1 0.7681 -> 0.7794, held-out 0.4773
     -> 0.506 span / 0.1778 -> 0.1882 frame (A/B in BASELINE.md — improves
-    train AND held-out, so it is calibration, not test tuning)."""
+    train AND held-out, so it is calibration, not test tuning).
+
+    Known estimation limit (r5 review): ``triggers_train`` is already
+    subtoken-suppressed at base gates, so this count matrix cannot see a
+    subtoken that would RESURFACE at deployment when a floor kills its
+    host (deployment applies floors BEFORE suppression). Measured on the
+    tutorial corpus at the learned floors: zero resurrected spans
+    (detect-with-floors minus detect-without-floors is empty), so the
+    estimate is exact for the shipped config; the downstream
+    `calibrate_unseen_thresholds` models the host coupling per-row over
+    whatever floors this function returns."""
     key = ["doc_id", "instance_idx", "span_type", "left", "right"]
     gold = (
         train["spans"].where(F.col("source") == "gold")

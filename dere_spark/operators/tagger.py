@@ -314,9 +314,27 @@ def fit_viability(
     nature (annotation cost, not corpus size, bounds it). Deterministic
     either way: rows sorted by content, zero init, fixed schedule,
     float64. Scoring of the unbounded corpus never collects
-    (see `score_candidates`)."""
-    if distributed is None:
-        distributed = cands.count() > DISTRIBUTED_FIT_THRESHOLD
+    (see `score_candidates`).
+
+    Both backends fail loudly on duplicate (doc_id, token_idx) keys —
+    class weights and gradient normalization assume one design row per
+    candidate — and on a diverged (non-finite) fit."""
+    if not distributed:
+        # one small job covers dispatch AND the duplicate-key guard the
+        # distributed backend fuses into its own head aggregation
+        head = cands.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id", "token_idx").alias("n_keys"),
+        ).first()
+        n, n_keys = int(head["n"]), int(head["n_keys"])
+        if distributed is None:
+            distributed = n > DISTRIBUTED_FIT_THRESHOLD
+        if not distributed and n_keys != n:
+            raise ValueError(
+                f"tagger training set has duplicate candidate keys: "
+                f"{n} rows over {n_keys} distinct (doc_id, token_idx) "
+                f"— dedupe candidates before fitting"
+            )
     if distributed:
         return fit_viability_distributed(
             cands, label_col, dim, iterations, lr, l2, **thresholds
@@ -345,7 +363,19 @@ def fit_viability(
         g = (p - y) * sw
         w -= lr * (X.T @ g / n + l2 * w)
         b -= lr * g.mean()
+    _check_fit_finite(w, b, lr, l2)
     return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
+
+
+def _check_fit_finite(w: np.ndarray, b: float, lr: float, l2: float) -> None:
+    """Fail loudly when GD diverged to non-finite weights — a returned
+    model would otherwise score garbage silently (NaN z orders above any
+    gate in Spark, so every candidate fires)."""
+    if not (np.isfinite(w).all() and np.isfinite(b)):
+        raise FloatingPointError(
+            "tagger fit diverged to non-finite weights "
+            f"(lr={lr}, l2={l2}); lower the learning rate"
+        )
 
 
 def fit_viability_distributed(
@@ -432,11 +462,7 @@ def fit_viability_distributed(
             # ('nan'/'inf') does NOT parse as a SQL double literal, so a
             # diverged fit would die in an opaque AnalysisException —
             # catch it here with an actionable message (ADVICE r4)
-            if not (np.isfinite(w).all() and np.isfinite(b)):
-                raise FloatingPointError(
-                    "tagger fit diverged to non-finite weights "
-                    f"(lr={lr}, l2={l2}); lower the learning rate"
-                )
+            _check_fit_finite(w, b, lr, l2)
             warr = F.expr(
                 "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
             )
@@ -481,6 +507,10 @@ def fit_viability_distributed(
             b = b - lr * (sum_g / n)
     finally:
         compact.unpersist()
+    # the in-loop check guards the literal parse for iterations 1..k-1;
+    # this one catches divergence on the FINAL update, which would
+    # otherwise return a non-finite model silently
+    _check_fit_finite(w, b, lr, l2)
     return TaggerModel(tuple(float(x) for x in w), float(b), dim, **thresholds)
 
 

@@ -231,11 +231,19 @@ def load_corpus_auto(
     The reference tries each registered IO and keeps the first that yields
     a non-empty corpus (universal_corpus_io.py:22-45); directory probing
     reproduces that choice without a trial load.
+
+    The returned dict has ONE shape regardless of format: the four corpus
+    tables plus the ``skipped`` side-output. BRAT loads fail hard on
+    malformed input (the .a1/.a2 line grammar has no skip mode), so their
+    skipped table is empty by construction — callers can always write
+    ``corpus["skipped"]`` without branching on the detected format.
     """
     import glob as g
 
     if g.glob(os.path.join(path, "*.txt")):
-        return load_brat(spark, path, spec, load_gold)
+        out = load_brat(spark, path, spec, load_gold)
+        out["skipped"] = spark.createDataFrame([], "doc_id string, error string")
+        return out
     if g.glob(os.path.join(path, "*.xml")):
         return load_xml_corpus(spark, path, spec, load_gold)
     raise ValueError(f"no recognizable corpus format under {path}")

@@ -200,6 +200,36 @@ def test_fit_divergence_fails_with_actionable_message(spark):
         fit_viability_distributed(cands, iterations=5, lr=1e300, l2=1e10)
 
 
+def test_fit_rejects_duplicate_keys_collect_path(spark):
+    """The duplicate-key guard must cover BOTH backends: the collect
+    path is the default below the auto-dispatch threshold, so a guard
+    only in the distributed fit would leave the common annotated-corpus
+    path silently re-weighting."""
+    from dere_spark.operators.tagger import fit_viability
+
+    cands = _synthetic_cands(spark, n=50)
+    dup = cands.unionByName(cands.limit(3))
+    with pytest.raises(ValueError, match="duplicate candidate keys"):
+        fit_viability(dup, iterations=1)
+
+
+def test_fit_divergence_final_iteration_and_collect_path(spark):
+    """Divergence on the FINAL update must fail loudly too: the in-loop
+    check only guards the next literal parse, so without a post-loop
+    check a fit that diverges on its last step returns a non-finite
+    model that scores garbage silently (NaN z orders above any gate in
+    Spark). Same contract on the collect path."""
+    from dere_spark.operators.tagger import fit_viability, fit_viability_distributed
+
+    cands = _synthetic_cands(spark, n=80)
+    # 2 iterations: step 0 leaves finite ~1e299 weights, step 1 (the
+    # final update) overflows the l2 term — only a post-loop check sees it
+    with pytest.raises(FloatingPointError, match="diverged"):
+        fit_viability_distributed(cands, iterations=2, lr=1e300, l2=1e10)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        fit_viability(cands, iterations=2, lr=1e300, l2=1e10, distributed=False)
+
+
 def test_calibrate_type_thresholds_single_aggregation_semantics(spark):
     """VERDICT r4 'What's wrong #2': calibration is now one gold count +
     one aggregation. Semantics pinned on a hand-computable corpus,
@@ -236,6 +266,7 @@ def test_calibrate_type_thresholds_single_aggregation_semantics(spark):
     assert out == {"A": 0.6}
 
 
+@pytest.mark.slow  # full train + two detections + two calibrations
 def test_calibrate_unseen_thresholds_tutorial_values(spark):
     """r5 probe A (VERDICT r4 #7a), adopted: per-type UNSEEN viability
     gates learned from cross-fitted train detection. Values pinned on the

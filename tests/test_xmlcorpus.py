@@ -71,6 +71,11 @@ def test_universal_dispatch(spark, tmp_path):
         spark, "/root/reference/tutorial/data/train", bionlp_spec
     )
     assert c2["spans"].count() == 148
+    # one dict shape regardless of detected format: 'skipped' exists for
+    # BRAT too (empty by construction — the BRAT loader fails hard)
+    assert c["skipped"].columns == ["doc_id", "error"]
+    assert c2["skipped"].columns == ["doc_id", "error"]
+    assert c2["skipped"].count() == 0
     with pytest.raises(ValueError):
         load_corpus_auto(spark, "/tmp/definitely_empty_dir_xyz", spec)
 
