@@ -548,11 +548,20 @@ def load_legacy_pairs(
             f"score-legacy: no *.a2.t1 or *.a2 gold annotation files in {gold_dir!r}"
         )
     gold = gold.withColumnRenamed("content", "gold_a2")
-    hypo = read("a2", hypo_dir) or read("ann", hypo_dir)
-    if hypo is None:
+    # the reference CLI globs *.a2 AND *.ann together for hypotheses
+    # (deRE_evaluation.py:795) — an either/or fallback would silently
+    # drop every .ann document from a mixed-extension directory. When a
+    # doc ships BOTH extensions, .a2 wins (documented deviation: the
+    # reference would score the pmid twice).
+    h_a2, h_ann = read("a2", hypo_dir), read("ann", hypo_dir)
+    if h_a2 is None and h_ann is None:
         raise FileNotFoundError(
             f"score-legacy: no *.a2 or *.ann hypothesis files in {hypo_dir!r}"
         )
+    if h_a2 is not None and h_ann is not None:
+        hypo = h_a2.unionByName(h_ann.join(h_a2, "doc_id", "left_anti"))
+    else:
+        hypo = h_a2 if h_a2 is not None else h_ann
     hypo = hypo.withColumnRenamed("content", "answer_a2")
     return (
         txt.join(a1, "doc_id", "left")
@@ -612,7 +621,10 @@ def render_legacy_report(scores: DataFrame, variant: str = "bionlp") -> str:
         out.append("-------------- SPAN EVALUATION ------------------")
         section("span", "span", USAGE_TARGET_CLASSES, "=[TOTAL]=")
         out.append("-------------- EVENT EVALUATION ------------------")
-        section("event", "event", USAGE_TARGET_CLASSES, "=[ALL-TOTAL]")
+        # the usage scorer labels its event total '=[EVENT-TOTAL]=',
+        # unlike the bionlp scorer's '=[ALL-TOTAL]'
+        # (deRE_evaluation_usage.py:990 vs deRE_evaluation.py:1055)
+        section("event", "event", USAGE_TARGET_CLASSES, "=[EVENT-TOTAL]=")
         return "\n".join(out)
 
     out.append("-------------- SPAN EVALUATION ------------------")

@@ -149,12 +149,26 @@ def lsh_bands_fused(
     )
 
 
+def capped_lsh_buckets(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """The buckets `candidate_pairs_lsh` will DROP at this cap: one row
+    (band, band_sig, bucket_size) per over-cap bucket. Run it with the
+    same arguments to audit recall loss before (or after) pairing — the
+    'no silent caps' probe; empty means the cap bound nothing."""
+    return (
+        band_df.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
 def candidate_pairs_lsh(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
     """Docs sharing any band bucket -> distinct (doc_a, doc_b), doc_a < doc_b.
 
     Degenerate buckets (boilerplate shingles collapsing many docs) are
-    capped at ``max_bucket`` members — dropped loudly via the `capped`
-    marker column on request, never silently.
+    capped at ``max_bucket`` members: without the cap one such bucket
+    goes quadratic in the self-join. The drop is auditable, not silent —
+    `capped_lsh_buckets(band_df, max_bucket)` reports exactly which
+    buckets (and how many members) the cap excluded.
     """
     sized = band_df.withColumn(
         "bucket_size",

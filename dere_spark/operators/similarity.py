@@ -250,6 +250,26 @@ def ivf_search_batch(
     )
 
 
+def capped_ivf_buckets(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF buckets `embedding_near_dup_pairs` will DROP at this cap:
+    one row (centroid_id, bucket_size) per over-cap bucket (counting
+    multi-probe assignments, exactly as the pairing does). The 'no
+    silent caps' audit probe; empty means the cap bound nothing."""
+    assigned = assign_buckets_topn(embeddings, centroids, nprobe, vec_col, id_col)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -270,8 +290,9 @@ def embedding_near_dup_pairs(
         its second-nearest bucket, closing the classic IVF recall hole;
       * **bucket cap** (``max_bucket``): a degenerate bucket — exactly
         what near-duplicate-heavy corpora produce — would go quadratic in
-        the self-join, so buckets over the cap are dropped LOUDLY (the
-        caller sees the cap in the signature, not a silent truncation).
+        the self-join, so buckets over the cap are dropped. The drop is
+        auditable via `capped_ivf_buckets(...)` with the same arguments,
+        which reports each excluded bucket and its size.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cosine rounded to 6dp
     for cross-engine stability; pairs sharing several buckets emit once.

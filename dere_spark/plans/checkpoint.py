@@ -41,6 +41,31 @@ def fingerprint(*parts: str) -> str:
     return h.hexdigest()
 
 
+def input_signature(path: str) -> str:
+    """Cheap input-data identity for a source directory: the sorted
+    (relative name, size, mtime_ns) of every file under ``path``, hashed.
+
+    Fingerprinting only the path STRING would silently reuse a stale
+    checkpoint after the corpus is regenerated in place under the same
+    directory name; hashing the data itself is not an option at 100 TB.
+    File-listing metadata is the standard middle ground (it is exactly
+    what an Iceberg snapshot id summarizes on a real cluster — there,
+    chain the snapshot id instead). ``path`` may be a single file or a
+    directory tree (a parquet "table" is either)."""
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            fp = os.path.join(dirpath, fn)
+            st = os.stat(fp)
+            entries.append(
+                f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}"
+            )
+    return fingerprint(*sorted(entries))
+
+
 @dataclass
 class StageResult:
     name: str
@@ -98,6 +123,14 @@ class CheckpointedPipeline:
             return df
 
         t0 = time.time()
+        # invalidate the stale manifest BEFORE touching the data: a crash
+        # between the data overwrite and the new manifest's publish must
+        # leave a missing manifest (-> recompute on resume), never an old
+        # manifest whose fingerprint still matches while the data under it
+        # is from a different run or half-written
+        stale = self._manifest_path(name)
+        if os.path.exists(stale):
+            os.remove(stale)
         df = build()
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
@@ -149,7 +182,12 @@ def run_checkpointed_extraction(
 
     plan = webtext_plan()
     cp = CheckpointedPipeline(spark, root)
-    params = fingerprint(sf_dir, json.dumps(sorted(GAZETTEERS.items())), str(MAX_TOKEN_DISTANCE))
+    params = fingerprint(
+        sf_dir,
+        input_signature(sf_dir),  # in-place corpus regeneration invalidates
+        json.dumps(sorted(GAZETTEERS.items())),
+        str(MAX_TOKEN_DISTANCE),
+    )
 
     spans = cp.stage(
         "spans",

@@ -35,8 +35,13 @@ def stream_extract_triples(
 
     `available_now=True` drains everything currently in the source then
     stops — the test/backfill trigger; production uses processingTime.
-    foreachBatch gives exactly-once appends via the streaming checkpoint
-    (offsets + commit log), complementing the stage-level manifests.
+
+    foreachBatch itself is only AT-LEAST-ONCE: a crash between the sink
+    write and the streaming commit log replays the whole micro-batch on
+    restart. Exactly-once therefore comes from making the write
+    idempotent — each batch lands in its own ``batch_id=`` partition via
+    dynamic partition overwrite, so a replayed batch REPLACES its own
+    partition instead of appending a duplicate copy.
     """
     from dere_spark.operators.frames import assemble_frames, best_fillers, score_pairs
     from dere_spark.operators.pairs import candidate_pairs, whitelist_df
@@ -68,8 +73,12 @@ def stream_extract_triples(
         pairs = candidate_pairs(spans, wl, MAX_TOKEN_DISTANCE)
         frames = assemble_frames(best_fillers(score_pairs(pairs)), plan)
         triples = frames_to_triples(frames, dictionary)
-        triples.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
         )
 
     writer = (
@@ -103,6 +112,23 @@ def stream_windowed_event_counts(
             "n_events",
         )
     )
+
+
+def _merge_sessions(items: list, gap_ms: int) -> list:
+    """Gap-merge a list of (start_ms, end_ms, n) intervals, sorted by
+    start: adjacent intervals closer than ``gap_ms`` fuse (start extends
+    DOWNWARD when a late event precedes the open session — a plain
+    ``t - end <= gap`` test would swallow arbitrarily-early events and
+    never lower the recorded start). Returns the merged intervals in
+    time order; all but the last are complete sessions."""
+    merged: list = []
+    for s, e, c in sorted(items):
+        if merged and s - merged[-1][1] <= gap_ms:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += c
+        else:
+            merged.append([s, e, c])
+    return merged
 
 
 def stream_stateful_sessions(
@@ -149,24 +175,31 @@ def stream_stateful_sessions(
             closed.append((user_id, start_ms, end_ms, n))
             state.remove()
         else:
-            start_ms = end_ms = None
-            n = 0
+            items: list = []
             if state.exists:
-                start_ms, end_ms, n = state.get
-            ts_ms: list = []
+                items.append(list(state.get))
             for pdf in pdf_iter:
-                ts_ms.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf["ts"]))
-            for t in sorted(ts_ms):
-                if start_ms is None:
-                    start_ms, end_ms, n = t, t, 1
-                elif t - end_ms <= gap_seconds * 1000:
-                    end_ms, n = max(end_ms, t), n + 1
-                else:
-                    closed.append((user_id, start_ms, end_ms, n))
-                    start_ms, end_ms, n = t, t, 1
-            if start_ms is not None:
+                for t in pd.to_datetime(pdf["ts"]):
+                    v = int(t.value // 10**6)
+                    items.append([v, v, 1])
+            merged = _merge_sessions(items, gap_seconds * 1000)
+            if merged:
+                # everything but the most recent interval is gap-isolated
+                # on both sides -> a complete session (late events beyond
+                # the gap close immediately rather than corrupting the
+                # open session's boundaries)
+                closed.extend((user_id, s, e, c) for s, e, c in merged[:-1])
+                start_ms, end_ms, n = merged[-1]
                 state.update((start_ms, end_ms, n))
-                state.setTimeoutTimestamp(end_ms + gap_seconds * 1000)
+                # a very late batch can put end+gap at or before the
+                # current watermark, which setTimeoutTimestamp rejects
+                # (and the exception kills the query) — clamp forward
+                state.setTimeoutTimestamp(
+                    max(
+                        end_ms + gap_seconds * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         if closed:
             yield pd.DataFrame(
                 {

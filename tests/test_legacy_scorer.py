@@ -327,3 +327,50 @@ def test_render_legacy_report_format(spark):
     # ALL-TOTAL = SVT(34/30) + Binding(1/1) + REG(40/34) events
     allt = next(l for l in lines if l.startswith("=[ALL-TOTAL]"))
     assert allt.split("\t")[1].strip() == "75 (65)"
+
+
+def test_usage_report_event_total_label(spark):
+    """The usage scorer labels its event total '=[EVENT-TOTAL]=' where
+    the bionlp scorer prints '=[ALL-TOTAL]' (deRE_evaluation_usage.py:990
+    vs deRE_evaluation.py:1055) — byte compatibility means matching each
+    variant's own label."""
+    from dere_spark.evaluation_legacy import (
+        legacy_event_scores,
+        render_legacy_report,
+    )
+
+    pairs = load_legacy_pairs(
+        spark,
+        "/root/reference/tutorial/data/train",
+        "/root/reference/tutorial/data/train",
+    )
+    txt = render_legacy_report(
+        legacy_event_scores(pairs, variant="usage"), variant="usage"
+    )
+    assert "=[EVENT-TOTAL]=" in txt
+    assert "=[ALL-TOTAL]" not in txt
+    assert "=[TOTAL]=" in txt  # the span section's label is shared
+
+
+def test_mixed_extension_hypothesis_dir(spark, tmp_path):
+    """The reference CLI globs *.a2 AND *.ann together for hypotheses
+    (deRE_evaluation.py:795); an either/or fallback would silently drop
+    every .ann document from a mixed directory — and the scorer's inner
+    join would then delete those docs' gold events from the totals."""
+    import glob
+    import os
+    import shutil
+
+    src = "/root/reference/tutorial/data/train"
+    hypo = tmp_path / "hypo"
+    hypo.mkdir()
+    files = sorted(glob.glob(f"{src}/*.a2"))
+    assert len(files) >= 2
+    for i, f in enumerate(files):
+        base = os.path.basename(f)
+        dest = base if i % 2 == 0 else base[: -len(".a2")] + ".ann"
+        shutil.copy(f, hypo / dest)
+    mixed = load_legacy_pairs(spark, src, str(hypo))
+    full = load_legacy_pairs(spark, src, src)
+    assert mixed.count() == full.count()  # no doc dropped
+    assert mixed.select("doc_id").exceptAll(full.select("doc_id")).count() == 0

@@ -250,7 +250,10 @@ def test_embedding_near_dup_degenerate_bucket_capped(spark):
     loudly, bounding the self-join output instead of going quadratic."""
     import math
 
-    from dere_spark.operators.similarity import embedding_near_dup_pairs
+    from dere_spark.operators.similarity import (
+        capped_ivf_buckets,
+        embedding_near_dup_pairs,
+    )
 
     rows = [
         (i, [1.0 + 1e-5 * math.sin(i + j) for j in range(8)]) for i in range(60)
@@ -263,9 +266,16 @@ def test_embedding_near_dup_degenerate_bucket_capped(spark):
     # every vector lands in the same buckets -> bucket size 60 > cap 20
     capped = embedding_near_dup_pairs(emb, cents, threshold=0.9, max_bucket=20)
     assert capped.count() == 0
+    # ... and the cap is AUDITABLE: the probe names the dropped buckets
+    audit = {
+        (r["centroid_id"], r["bucket_size"])
+        for r in capped_ivf_buckets(emb, cents, max_bucket=20).collect()
+    }
+    assert audit == {(0, 60), (1, 60)}  # nprobe=2 assigns both centroids
     # with a big enough cap the same call yields the full within-bucket set
     full = embedding_near_dup_pairs(emb, cents, threshold=0.9, max_bucket=1000)
     assert full.count() == 60 * 59 // 2
+    assert capped_ivf_buckets(emb, cents, max_bucket=1000).count() == 0
 
 
 def test_recorded_parse_fixture_paths(spark):
@@ -555,3 +565,21 @@ def test_fused_lsh_matches_staged_when_bands_exceed_hashes(spark):
         # only bands that own >= 1 seed appear
         n_bands = fused.select("band").distinct().count()
         assert n_bands == min(bands, num_hashes)
+
+
+def test_capped_lsh_buckets_audit(spark):
+    """'No silent caps': candidate_pairs_lsh drops over-cap buckets, and
+    capped_lsh_buckets with the same arguments names exactly what was
+    dropped (empty when the cap binds nothing)."""
+    from dere_spark.operators.dedup import candidate_pairs_lsh, capped_lsh_buckets
+
+    rows = [(f"d{i}", 0, "BOILER") for i in range(30)]  # degenerate bucket
+    rows += [(f"e{i}", 0, "rare") for i in range(3)]
+    band_df = spark.createDataFrame(rows, "doc_id string, band int, band_sig string")
+    pairs = candidate_pairs_lsh(band_df, max_bucket=10)
+    assert pairs.count() == 3 * 2 // 2  # only the small bucket pairs up
+    audit = capped_lsh_buckets(band_df, max_bucket=10).collect()
+    assert [(r["band"], r["band_sig"], r["bucket_size"]) for r in audit] == [
+        (0, "BOILER", 30)
+    ]
+    assert capped_lsh_buckets(band_df, max_bucket=100).count() == 0

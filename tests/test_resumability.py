@@ -56,6 +56,54 @@ def test_checkpoint_invalidates_on_param_change(spark, sf_dir, tmp_path):
     assert not cp2.reused("s")  # changed params -> fingerprint mismatch
 
 
+def test_checkpoint_crash_mid_rebuild_never_resurrects_stale_manifest(
+    spark, tmp_path
+):
+    """The stale manifest must be invalidated BEFORE the rebuild touches
+    the data: a crash between the data overwrite and the new manifest's
+    publish would otherwise leave the OLD manifest vouching for data it
+    did not describe, and a later run with the old params would silently
+    reuse wrong or half-written parquet."""
+    root = str(tmp_path / "cp")
+    cp = CheckpointedPipeline(spark, root)
+    cp.stage("s", lambda: spark.range(5).toDF("x"), params="v1")
+
+    def boom():
+        raise RuntimeError("simulated crash during rebuild")
+
+    cp2 = CheckpointedPipeline(spark, root)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        cp2.stage("s", boom, params="v2")
+    # back on v1: the old manifest is gone, so the stage must recompute
+    cp3 = CheckpointedPipeline(spark, root)
+    out = cp3.stage("s", lambda: spark.range(5).toDF("x"), params="v1")
+    assert not cp3.reused("s")
+    assert out.count() == 5
+
+
+def test_checkpoint_invalidates_on_input_regeneration(spark, sf_dir, tmp_path):
+    """Fingerprinting only the input PATH string would reuse a stale
+    checkpoint after the corpus is regenerated in place under the same
+    directory — input_signature folds the file listing (name, size,
+    mtime) into the first stage's fingerprint."""
+    import os
+
+    src = str(tmp_path / "corpus")
+    os.makedirs(src)
+    doc_table = f"{src}/documents.parquet"
+    shutil.copy(f"{sf_dir}/documents.parquet", doc_table)
+    root = str(tmp_path / "cp")
+    first = run_checkpointed_extraction(spark, src, root)
+    n = first["triples"].count()
+    second = run_checkpointed_extraction(spark, src, root)
+    assert second["_pipeline"].reused("spans")
+    # "regenerate" the corpus in place: same path, new file mtime
+    os.utime(doc_table, ns=(1, 1))
+    third = run_checkpointed_extraction(spark, src, root)
+    assert not third["_pipeline"].reused("spans")
+    assert third["triples"].count() == n
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     docs = load_documents(spark, sf_dir).limit(200)
     dim = spark.createDataFrame(
@@ -122,6 +170,39 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     q2 = stream_extract_triples(spark, src, out, cp, available_now=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == batch.count()
+    # crash-replay simulation: foreachBatch is at-least-once, so wipe the
+    # streaming checkpoint and replay EVERY batch with the same batch_ids
+    # — the per-batch dynamic partition overwrite must replace each
+    # batch's partition, not append a duplicate copy of the corpus
+    shutil.rmtree(cp)
+    q3 = stream_extract_triples(spark, src, out, cp, available_now=True)
+    q3.awaitTermination(300)
+    assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_merge_sessions_gap_semantics():
+    """The stateful sessionizer's pure merge kernel: late events within
+    the gap extend the open session DOWNWARD; late events beyond the gap
+    form their own (immediately closed) session — a plain `t - end <=
+    gap` test would swallow arbitrarily-early events and never lower the
+    recorded start."""
+    from dere_spark.streaming.pipeline import _merge_sessions
+
+    gap = 1000
+    # in-order: split at > gap
+    assert _merge_sessions(
+        [[0, 0, 1], [500, 500, 1], [3000, 3000, 1]], gap
+    ) == [[0, 500, 2], [3000, 3000, 1]]
+    # late event within the gap BEFORE the open session lowers its start
+    assert _merge_sessions([[5000, 6000, 3], [4500, 4500, 1]], gap) == [
+        [4500, 6000, 4]
+    ]
+    # late event beyond the gap: its own closed session, boundaries intact
+    assert _merge_sessions([[5000, 6000, 3], [1000, 1000, 1]], gap) == [
+        [1000, 1000, 1],
+        [5000, 6000, 3],
+    ]
+    assert _merge_sessions([], gap) == []
 
 
 def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
