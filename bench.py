@@ -19,6 +19,7 @@ criterion in BASELINE.json).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -72,7 +73,7 @@ def flagship_steady_state(spark, sf_dir: str, runs: int = 2) -> tuple[int, float
     return n, round(min(walls), 3)
 
 
-def _run_suite(cpus: int) -> tuple[dict, float, dict]:
+def _run_suite(cpus: int) -> tuple[dict, float, dict, dict, float, int]:
     from dere_spark.queries import QUERIES
     from dere_spark.session import get_spark
 
@@ -181,8 +182,16 @@ def _scaling_run(factor: int = 300, repeats: int = 3) -> dict:
 
     # materialize the expanded corpus ONCE as a well-partitioned table —
     # measuring from a single tiny parquet file would serialize the scan
-    # and hide all scaling behind a one-task head
-    staging = os.path.join(tempfile.gettempdir(), f"dere_scaling_{factor}", "documents.parquet")
+    # and hide all scaling behind a one-task head. The staging path keys
+    # on the SOURCE directory too: keyed by factor alone, a run with a
+    # different SPARK_GRAFT_SF_DIR would silently reuse the previous
+    # source's expanded corpus while reporting the new sf in its JSON
+    src_tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    staging = os.path.join(
+        tempfile.gettempdir(),
+        f"dere_scaling_{factor}_{src_tag}",
+        "documents.parquet",
+    )
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         spark = get_spark("scaling_prep", cpus=32)
         (

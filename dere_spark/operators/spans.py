@@ -72,5 +72,9 @@ def strip_source(df: DataFrame, source: str = "gold") -> DataFrame:
     Reference: Corpus.strip_gold deletes gold-sourced spans/frames before
     prediction (dere/corpus.py:161-171); evaluation conversely ignores
     'given' annotations (dere/evaluation.py:18-21).
+
+    Null-safe: a row with source=NULL is NOT the stripped tag and is
+    kept (a plain ``!=`` comparison would silently drop it — NULL != x
+    is NULL, which `where` treats as false).
     """
-    return df.where(F.col("source") != source)
+    return df.where(~F.col("source").eqNullSafe(source))

@@ -63,7 +63,10 @@ def tokenize(
 
 
 def tokenize_arrow(
-    documents: DataFrame, sep: str = " ", text_col: str = "text"
+    documents: DataFrame,
+    sep: str = " ",
+    text_col: str = "text",
+    sep_len: int | None = None,
 ) -> DataFrame:
     """Shuffle-free tokenizer: offsets via a vectorized Arrow kernel.
 
@@ -72,6 +75,16 @@ def tokenize_arrow(
     batch's flattened token lengths — one numpy pass, no per-row Python),
     so no shuffle, no sort, no window. On a bandwidth-bound cluster this
     removes the pipeline's largest exchange: the full token stream.
+
+    Contract parity with `tokenize`: ``sep`` is split as a REGEX
+    (pandas defaults a 1-char pattern to a literal; the JVM path is
+    always Java-regex, so the kernel forces regex=True), NULL ``text``
+    rows emit no tokens (the JVM path's split(NULL) drops the row), and
+    ``sep_len`` overrides the offset step when the pattern's match
+    width differs from ``len(sep)``. Known dialect residue: a pattern
+    that can match the EMPTY string (e.g. a bare ``|``) still diverges —
+    Python's re.split keeps the leading zero-width field that Java
+    discards; don't use zero-width-capable separators with either path.
 
     mapInPandas over (doc_id, text) -> exploded token rows; the kernel
     flattens every document's tokens in the Arrow batch into single numpy
@@ -86,7 +99,8 @@ def tokenize_arrow(
         StructType,
     )
 
-    sep_len = len(sep)
+    if sep_len is None:
+        sep_len = len(sep)
     out_schema = StructType(
         [
             StructField("doc_id", StringType()),
@@ -99,9 +113,10 @@ def tokenize_arrow(
 
     def kernel(batches):
         for batch in batches:
+            batch = batch[batch[text_col].notna()]
             if not len(batch):
                 continue
-            token_lists = batch[text_col].str.split(sep)
+            token_lists = batch[text_col].str.split(sep, regex=True)
             counts = token_lists.str.len().to_numpy()
             flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
             lens = np.char.str_len(flat.astype(str)).astype(np.int64)

@@ -842,7 +842,6 @@ def _register_dedup() -> None:
         shingles,
         simhash,
     )
-    from dere_spark.operators.graph import connected_components
 
     def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_documents(spark, sf_dir, columns=["text"])
@@ -1000,7 +999,7 @@ _register_dedup()
 
 
 def _register_similarity() -> None:
-    from dere_spark.operators.similarity import assign_buckets, cosine, cosine_topk
+    from dere_spark.operators.similarity import assign_buckets, cosine_topk
 
     DIM = 64
 
@@ -1673,9 +1672,10 @@ def _register_breadth() -> None:
         o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
         c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
         both = o.intersect(c).select(F.lit("both").alias("which"), "k")
-        only = c.exceptAll(o).distinct().select(
-            F.lit("customer_only").alias("which"), "k"
-        )
+        # subtract IS EXCEPT DISTINCT; exceptAll().distinct() is the
+        # multiset difference deduped, which diverges the moment a key
+        # appears more often in customer than in orders
+        only = c.subtract(o).select(F.lit("customer_only").alias("which"), "k")
         return both.unionByName(only)
 
     @register(
@@ -2194,9 +2194,9 @@ def _register_vectorize() -> None:
             F.col("z.indices").alias("index"),
             F.col("z.counts").cast("long").alias("n"),
         )
-        return flat.join(
-            F.broadcast(vocab.withColumnRenamed("index", "index")), "index"
-        ).select("doc_id", "index", "term", "n")
+        return flat.join(F.broadcast(vocab), "index").select(
+            "doc_id", "index", "term", "n"
+        )
 
 
 _register_vectorize()

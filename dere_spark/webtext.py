@@ -157,13 +157,30 @@ def cached_stages(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     query start from the cache. Results are identical to build_stages;
     plan-shape tests intentionally use the uncached builder.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # evict entries from other (stopped or replaced) applications: their
+    # DataFrame graphs are dead weight a long-lived driver process would
+    # otherwise accumulate forever across session restarts
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _STAGE_CACHE if k[0] != app_id]:
+        del _STAGE_CACHE[k]
+    key = (app_id, sf_dir)
     if key not in _STAGE_CACHE:
         stages = build_stages(spark, sf_dir)
         stages["spans"] = stages["spans"].persist()
         stages["triples"] = stages["triples"].persist()
         _STAGE_CACHE[key] = stages
     return _STAGE_CACHE[key]
+
+
+def invalidate_cached_stages(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist and drop the live session's cached stages for ``sf_dir``
+    — required after rewriting the corpus under the same path, which the
+    memo key cannot see."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stages = _STAGE_CACHE.pop(key, None)
+    if stages:
+        stages["spans"].unpersist()
+        stages["triples"].unpersist()
 
 
 def extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

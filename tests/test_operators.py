@@ -408,6 +408,45 @@ def test_tokenize_arrow_equals_window_tokenizer(spark, sf_dir):
     assert a == b
 
 
+def test_tokenize_arrow_null_text_and_regex_sep_parity(spark):
+    """Contract-parity edges of the Arrow tokenizer: a NULL text row
+    emits no tokens (the JVM path's split(NULL) drops the row — the old
+    kernel crashed the task on np.concatenate), and a 1-char regex
+    separator splits as a REGEX like the JVM path (pandas would default
+    it to a literal)."""
+    from dere_spark.operators.tokenize import tokenize, tokenize_arrow
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", None), ("d3", "x")],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, tokenize_arrow(docs).collect()))
+    b = sorted(map(tuple, tokenize(docs).collect()))
+    assert a == b
+    assert {t[0] for t in a} == {"d1", "d3"}  # the NULL doc emits nothing
+    # regex separator (width-1 character class): both paths must split
+    # regex-style — pandas defaults a short pattern to a literal, which
+    # would leave "a,b;c" untokenized
+    punct = spark.createDataFrame([("p1", "a,b;c")], "doc_id string, text string")
+    ar = sorted(map(tuple, tokenize_arrow(punct, sep="[;,]", sep_len=1).collect()))
+    jv = sorted(map(tuple, tokenize(punct, sep="[;,]", sep_len=1).collect()))
+    assert ar == jv
+    assert [t[2] for t in ar] == ["a", "b", "c"]
+
+
+def test_strip_source_is_null_safe(spark):
+    """strip_source keeps rows whose source is NULL: NULL is not the
+    stripped tag, and a plain != comparison would silently drop them."""
+    from dere_spark.operators.spans import strip_source
+
+    df = spark.createDataFrame(
+        [("d1", "gold"), ("d2", "predicted"), ("d3", None)],
+        "doc_id string, source string",
+    )
+    kept = {r["doc_id"] for r in strip_source(df, "gold").collect()}
+    assert kept == {"d2", "d3"}
+
+
 def test_star_cc_matches_hashmin(spark):
     """large-star/small-star must produce exactly the labels of hash-min
     propagation on chains, stars, cliques and singleton-ish graphs."""
