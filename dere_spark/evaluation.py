@@ -29,7 +29,6 @@ file order (line_no) so results replicate the reference's iteration order.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from itertools import permutations
 from typing import Dict, List, Optional, Tuple
 
 import pandas as pd
@@ -103,9 +102,18 @@ def _frame_fill_rows(frames: DataFrame, slot_fills: DataFrame, spans: DataFrame,
         F.col("left").alias("f_left"),
         F.col("right").alias("f_right"),
     )
+    # frames LEFT-join fills: a frame with NO slot fills must still reach
+    # the matcher as a node (the reference's frame_graph adds every frame,
+    # corpus.py:96-98, so a slot-less predicted frame is a countable FP
+    # singleton component — an inner join from slot_fills dropped it)
     rows = (
-        slot_fills.select("doc_id", "frame_tag", "slot_name", "fill_idx", "filler_tag", "filler_kind")
-        .join(f, ["doc_id", "frame_tag"], "inner")
+        f.join(
+            slot_fills.select(
+                "doc_id", "frame_tag", "slot_name", "fill_idx", "filler_tag", "filler_kind"
+            ),
+            ["doc_id", "frame_tag"],
+            "left",
+        )
         .join(s, ["doc_id", "filler_tag"], "left")
         .withColumn("side", F.lit(side))
     )
@@ -190,6 +198,13 @@ def _build_components(rows: pd.DataFrame) -> List[dict]:
     """Group one side's fill rows into frame objects, build the frame→frame
     graph, return connected components ordered by first frame file order."""
     frames: Dict[Tuple[int, str], dict] = {}
+    # fixed iteration order: fills arrive in Spark shuffle order, and both
+    # the slots lists and the edge-label last-write below must not depend
+    # on it (two slots filling the same target frame would otherwise get a
+    # run-dependent edge label, flipping isomorphism results between runs)
+    rows = rows.sort_values(
+        ["frame_tag", "slot_name", "fill_idx"], na_position="first"
+    )
     for r in rows.itertuples():
         key = r.frame_tag
         fr = frames.setdefault(
@@ -201,6 +216,8 @@ def _build_components(rows: pd.DataFrame) -> List[dict]:
                 "slots": {},
             },
         )
+        if pd.isna(r.slot_name):
+            continue  # slot-less frame: node only, no fills
         if r.filler_kind == "span":
             ident = (r.f_span_type, int(r.f_left) if pd.notna(r.f_left) else -1,
                      int(r.f_right) if pd.notna(r.f_right) else -1)
@@ -361,7 +378,11 @@ class EvalResult:
         return self._prf(*self._sum(kind))[2]
 
     def report(self) -> str:
-        """ASCII table in the reference's format (evaluation.py:332-366)."""
+        """ASCII table in the reference's STYLE (evaluation.py:332-366):
+        same columns and section structure, but not byte-identical — this
+        report sorts types alphabetically, omits zero-count types, and
+        drops the per-section dash separators. Byte-compatible reference
+        output is `evaluation_legacy.render_legacy_report`'s contract."""
         rows: List[List[str]] = [["Class", "gold", "answer", "match", "recall", "prec.", "fscore"]]
 
         def add_row(label: str, tp: int, fp: int, fn: int) -> None:
@@ -402,7 +423,6 @@ def evaluate(hypo: Dict[str, DataFrame], gold: Dict[str, DataFrame]) -> EvalResu
 def span_eval_counts_soft(
     hypo_spans: DataFrame,
     gold_spans: DataFrame,
-    instances: Optional[DataFrame] = None,
     mode: str = "soft_boundary",
     slack: int = 2,
 ) -> DataFrame:

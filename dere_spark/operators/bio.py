@@ -52,12 +52,20 @@ def bio_encode(tokens: DataFrame, spans: DataFrame, span_type: str) -> DataFrame
     )
     j = j.withColumn("rk", F.row_number().over(w_tok)).where(F.col("rk") == 1).drop("rk")
     w = Window.partitionBy("doc_id").orderBy("token_idx")
-    prev_s_left = F.lag("s_left").over(w)
+    # the docstring's rule, literally: a covered token is I iff the
+    # PREVIOUS token belongs to the SAME span (both bounds — two spans
+    # can share a start), else it is the span's first covered token = B.
+    # The reference labels the first aligned token B even when the span
+    # starts mid-token (_bio_span_model.py:100-105); an exact
+    # left==s_left test would mislabel that first token I, and strict
+    # decode would then drop the span as an orphan-I run.
+    same_as_prev = (F.lag("s_left").over(w) == F.col("s_left")) & (
+        F.lag("s_right").over(w) == F.col("s_right")
+    )
     label = (
         F.when(F.col("s_left").isNull(), "O")
-        .when(F.col("left") == F.col("s_left"), "B")
-        .when(prev_s_left == F.col("s_left"), "I")
-        .otherwise("I")
+        .when(same_as_prev, "I")
+        .otherwise("B")
     )
     return j.withColumn("bio", label).select(
         "doc_id", "token_idx", "token", "left", "right", "bio"

@@ -24,8 +24,6 @@ path_len = -1. Output: (group_id, from_idx, to_idx, path_len, path_labels).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -146,26 +144,38 @@ def span_shortest_paths(edges: DataFrame, span_pairs: DataFrame) -> DataFrame:
     min-pick per pair with a window."""
     from pyspark.sql import Window
 
+    # explode_outer, not explode: a pair whose either token set is empty
+    # (or null) must still come back with the documented -1/'' sentinel —
+    # plain explode would emit zero rows and the pair would silently
+    # vanish from the result
     exploded = span_pairs.select(
         "group_id",
         "pair_id",
-        F.explode("from_idxs").alias("from_idx"),
+        F.explode_outer("from_idxs").alias("from_idx"),
         F.col("to_idxs"),
     ).select(
-        "group_id", "pair_id", "from_idx", F.explode("to_idxs").alias("to_idx")
+        "group_id", "pair_id", "from_idx", F.explode_outer("to_idxs").alias("to_idx")
     )
     answers = shortest_dep_paths(
-        edges, exploded.select("group_id", "from_idx", "to_idx").distinct()
+        edges,
+        exploded.where(F.col("from_idx").isNotNull() & F.col("to_idx").isNotNull())
+        .select("group_id", "from_idx", "to_idx")
+        .distinct(),
     )
-    joined = exploded.join(answers, ["group_id", "from_idx", "to_idx"])
+    joined = exploded.join(answers, ["group_id", "from_idx", "to_idx"], "left")
     pick = Window.partitionBy("group_id", "pair_id").orderBy(
-        (F.col("path_len") < 0).cast("int"),
-        "path_len",
+        (F.col("path_len") < 0).cast("int").asc_nulls_last(),
+        F.col("path_len").asc_nulls_last(),
         "from_idx",
         "to_idx",
     )
     return (
         joined.withColumn("_rk", F.row_number().over(pick))
         .where(F.col("_rk") == 1)
-        .select("group_id", "pair_id", "path_len", "path_labels")
+        .select(
+            "group_id",
+            "pair_id",
+            F.coalesce("path_len", F.lit(-1)).alias("path_len"),
+            F.coalesce("path_labels", F.lit("")).alias("path_labels"),
+        )
     )

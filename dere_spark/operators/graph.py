@@ -43,6 +43,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         # candidate labels: own label + neighbors' labels
         nbr = (
@@ -62,7 +63,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # exhausting the round budget mid-propagation would return labels
+        # that split one true component into several — fail loudly ("no
+        # silent caps"): the caller raises max_iterations, never guesses
+        raise ValueError(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations (graph diameter exceeds the round budget); raise "
+            f"max_iterations"
+        )
     return labels
 
 
@@ -90,13 +101,14 @@ def connected_components_star(
     Both are one groupBy + one join per round over a monotonically
     smaller edge list. Converged when the edge multiset is stable
     (checked with an order-independent xxhash64 checksum — no collect of
-    edges). Output matches ``connected_components`` exactly:
-    (node, component = min node id of the component, string order).
+    edges). Output matches ``connected_components`` exactly: (node,
+    component = min node id of the component) in the ids' NATIVE
+    ordering and type — a string cast here would make numeric ids pick
+    lexicographic minima ('10' < '2') and change the output type, silently
+    diverging from the hash-min variant the docstring promises to match.
     """
     e = (
-        edges.select(
-            F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v")
-        )
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -147,17 +159,24 @@ def connected_components_star(
         )
 
     prev = None
+    converged = False
     for _ in range(max_iterations):
         e = large_star(e).localCheckpoint(eager=True)
         e = small_star(e).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise ValueError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
 
     # converged: every edge is (node -> its component root)
-    nodes = edges.select(F.col(src).cast("string").alias("node")).unionByName(
-        edges.select(F.col(dst).cast("string").alias("node"))
+    nodes = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
     ).distinct()
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return (

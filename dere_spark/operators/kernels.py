@@ -24,7 +24,7 @@ path agrees with relational semantics.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 import pandas as pd

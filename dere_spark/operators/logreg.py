@@ -89,11 +89,15 @@ def fit_logistic_distributed(
         n = int(head["n"])
         if n == 0:
             raise ValueError("empty training set")
-        n_pos = max(float(head["n_pos"] or 0.0), 1.0)
-        n_neg = max(float(n) - float(head["n_pos"] or 0.0), 1.0)
-        # identical scalar path to fit_logistic's sample_w normalization
-        w_pos_raw = n_neg / n_pos
-        mean_w = (n_pos * w_pos_raw + n_neg * 1.0) / n
+        true_pos = float(head["n_pos"] or 0.0)
+        true_neg = float(n) - true_pos
+        # identical scalar path to fit_logistic's sample_w normalization:
+        # the RATIO clamps absent classes to 1 (like the collect path's
+        # max(...,1)), but the mean is over the TRUE row counts — using
+        # the clamped count there would halve every weight on an
+        # all-negative set, where the collect path is a no-op
+        w_pos_raw = max(true_neg, 1.0) / max(true_pos, 1.0)
+        mean_w = (true_pos * w_pos_raw + true_neg * 1.0) / n
         w_pos = w_pos_raw / mean_w
         w_neg = 1.0 / mean_w
 

@@ -445,10 +445,13 @@ def fit_viability_distributed(
                 f"{n} rows over {int(head['n_keys'])} distinct "
                 f"(doc_id, token_idx) — dedupe candidates before fitting"
             )
-        n_pos = max(float(head["n_pos"] or 0.0), 1.0)
-        n_neg = max(float(n) - float(head["n_pos"] or 0.0), 1.0)
-        sw_pos_raw = n_neg / n_pos
-        mean_w = (n_pos * sw_pos_raw + n_neg * 1.0) / n
+        true_pos = float(head["n_pos"] or 0.0)
+        true_neg = float(n) - true_pos
+        # ratio clamps an absent class to 1 (mirrors the collect path's
+        # max(...,1)); the mean normalizer uses TRUE counts — a clamped
+        # count there diverges from the collect fit when a class is absent
+        sw_pos_raw = max(true_neg, 1.0) / max(true_pos, 1.0)
+        mean_w = (true_pos * sw_pos_raw + true_neg * 1.0) / n
         sw_pos = sw_pos_raw / mean_w
         sw_neg = 1.0 / mean_w
 

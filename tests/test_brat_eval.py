@@ -213,3 +213,53 @@ def test_quote_normalization_can_be_disabled(spark, spec, tmp_path):
     (src / "d1.a1").write_text('T1\tProtein 3 9\tquoted\n')
     corpus = load_brat(spark, str(src), spec, normalize_quotes=False)
     assert '"' in corpus["instances"].select("text").collect()[0][0]
+
+
+def test_frame_eval_counts_slotless_frame_as_fp(spark, corpus):
+    """A predicted frame with ZERO slot fills must still be counted: the
+    reference's frame_graph adds every frame as a node (corpus.py:96-98),
+    so a slot-less hypo frame is an unmatched singleton component = FP.
+    An inner join from slot_fills used to drop it from evaluation."""
+    extra = spark.createDataFrame(
+        [("10102628", "E999", "Gene_expression", "predicted", 999, None, 0)],
+        corpus["frames"].schema,
+    )
+    hypo = dict(corpus)
+    hypo["frames"] = corpus["frames"].unionByName(extra)
+    counts = {
+        row["type_name"]: (row["tp"], row["fp"], row["fn"])
+        for row in frame_eval_counts(hypo, corpus).collect()
+    }
+    assert counts["Gene_expression"] == (20, 1, 0)
+
+
+def test_frame_eval_two_slots_same_target_deterministic(spark):
+    """One frame filling TWO slots with the SAME target frame: the edge
+    build must not depend on Spark shuffle row order (fills are sorted by
+    (frame_tag, slot_name, fill_idx) before the last-write edge label),
+    so identical gold/hypo sides always self-match."""
+    frames = spark.createDataFrame(
+        [("Regulation", "d1", "E1", "gold", 1, None, 0),
+         ("Expression", "d1", "E2", "gold", 2, None, 0)],
+        "frame_type string, doc_id string, tag string, source string, "
+        "line_no int, file_index int, instance_idx int",
+    )
+    fills = spark.createDataFrame(
+        [("d1", "E1", "Theme", 0, "E2", "frame"),
+         ("d1", "E1", "Cause", 1, "E2", "frame"),
+         ("d1", "E2", "Theme", 0, "T1", "span")],
+        "doc_id string, frame_tag string, slot_name string, fill_idx int, "
+        "filler_tag string, filler_kind string",
+    )
+    spans = spark.createDataFrame(
+        [("d1", "T1", "Protein", 0, 3, "x", "gold")],
+        "doc_id string, tag string, span_type string, left int, right int, "
+        "text string, source string",
+    )
+    side = {"frames": frames, "slot_fills": fills, "spans": spans}
+    for _ in range(3):  # repeated runs: shuffle order must not matter
+        counts = {
+            row["type_name"]: (row["tp"], row["fp"], row["fn"])
+            for row in frame_eval_counts(side, side).collect()
+        }
+        assert counts == {"Regulation": (1, 0, 0), "Expression": (1, 0, 0)}

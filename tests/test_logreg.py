@@ -69,3 +69,20 @@ def test_empty_training_set_raises(spark):
     )
     with pytest.raises(ValueError):
         fit_logistic_distributed(df, ["x1"], iterations=2)
+
+
+def test_all_negative_class_parity(spark):
+    """Degenerate all-negative training set: the collect path's mean
+    normalization is a no-op (every sample weight 1.0); the distributed
+    path must match — computing the mean from CLAMPED class counts used
+    to halve every weight and break the ~1e-9 parity contract."""
+    df = spark.range(200).select(
+        (F.col("id") % 7 / 7.0).alias("x1"),
+        ((F.col("id") % 5 / 5.0) - 0.3).alias("x2"),
+        F.lit(0).alias("label"),
+    )
+    cols = ["x1", "x2"]
+    local = fit_logistic(df, cols, iterations=30)
+    dist = fit_logistic_distributed(df, cols, iterations=30)
+    np.testing.assert_allclose(dist.weights, local.weights, atol=1e-9)
+    np.testing.assert_allclose(dist.bias, local.bias, atol=1e-9)

@@ -622,3 +622,86 @@ def test_capped_lsh_buckets_audit(spark):
         (0, "BOILER", 30)
     ]
     assert capped_lsh_buckets(band_df, max_bucket=100).count() == 0
+
+
+def test_bio_encode_first_covered_token_is_B_mid_token_span(spark):
+    """A span starting MID-token: its first covered token must be B (the
+    reference labels the first aligned token B, _bio_span_model.py:100-105).
+    The old exact left==s_left test labeled it I, and strict decode then
+    dropped the span as an orphan-I run."""
+    from dere_spark.operators.bio import bio_decode, bio_encode
+
+    tokens = spark.createDataFrame(
+        [("d1", 0, "ab", 0, 2), ("d1", 1, "cd", 3, 5)],
+        "doc_id string, token_idx int, token string, left int, right int",
+    )
+    spans = spark.createDataFrame(
+        [("d1", "X", 1, 5)], "doc_id string, span_type string, left int, right int"
+    )
+    enc = bio_encode(tokens, spans, "X")
+    labels = {r["token_idx"]: r["bio"] for r in enc.collect()}
+    assert labels == {0: "O", 1: "B"}  # (0,2) not contained; (3,5) starts the span
+    dec = bio_decode(enc, "X", strict=True).collect()
+    assert [(r["left"], r["right"]) for r in dec] == [(3, 5)]
+
+
+def test_cc_nonconvergence_raises_loudly(spark):
+    """Exhausting the round budget mid-propagation would silently split
+    one true component into several — both CC variants must fail loudly
+    instead ('no silent caps')."""
+    from dere_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    ok = connected_components(chain, max_iterations=15)
+    assert ok.select("component").distinct().count() == 1
+
+
+def test_star_cc_numeric_ids_match_hashmin(spark):
+    """connected_components_star must agree with connected_components on
+    NUMERIC ids too: a string cast would pick lexicographic minima
+    ('10' < '2') and change the output type."""
+    from dere_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 10), (10, 30), (5, 7)], "src int, dst int"
+    )
+    hm = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    st = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert hm == st == {2: 2, 10: 2, 30: 2, 5: 5, 7: 5}
+    assert all(isinstance(k, int) for k in st)  # native type preserved
+
+
+def test_span_paths_empty_token_sets_get_sentinel(spark):
+    """A span pair whose either token-index array is empty or null must
+    come back with the documented -1/'' sentinel, not silently vanish
+    (plain explode emitted zero rows for it)."""
+    from dere_spark.operators.deppath import span_shortest_paths
+
+    edges = spark.createDataFrame(
+        [("g1", 0, 1, "nsubj"), ("g1", 1, 2, "dobj")],
+        "group_id string, src int, dst int, label string",
+    )
+    pairs = spark.createDataFrame(
+        [("g1", "p0", [0], [2]), ("g1", "p_empty", [], [2]),
+         ("g1", "p_null", None, [2])],
+        "group_id string, pair_id string, from_idxs array<int>, to_idxs array<int>",
+    )
+    got = {
+        r["pair_id"]: (r["path_len"], r["path_labels"])
+        for r in span_shortest_paths(edges, pairs).collect()
+    }
+    assert got == {
+        "p0": (2, "nsubj/dobj"),
+        "p_empty": (-1, ""),
+        "p_null": (-1, ""),
+    }
