@@ -123,9 +123,18 @@ def cmd_extract(args) -> int:
 
 
 def cmd_train(args) -> int:
-    from dere_spark.bionlp import train_theme_model
+    """Fit and save an artifact `predict --model-dir` can actually load:
+    the payload is the induced-and-precision-filtered GazetteerTagger
+    (the class cmd_predict hard-requires), and the fitted theme model
+    rides in metadata. The previous shape — an empty LinearPairScorer
+    shell — failed predict's expected_class check, so the advertised
+    train -> predict lifecycle always raised."""
+    from dere_spark.bionlp import (
+        induce_trigger_gazetteer_filtered,
+        train_theme_model,
+    )
     from dere_spark.plans.models import save_model
-    from dere_spark.operators.kernels import LinearPairScorer
+    from dere_spark.operators.kernels import GazetteerTagger
     from dere_spark.sources.brat import load_brat
     from dere_spark.taskspec import load_task_spec
 
@@ -133,10 +142,18 @@ def cmd_train(args) -> int:
     spec = load_task_spec(args.spec)
     train = load_brat(spark, args.corpus, spec)
     theme_model = train_theme_model(train)
-    # persist as a registry artifact (generic container via LinearPairScorer
-    # is for kernels; the theme model is a plain dict -> wrap in metadata)
+    by_type: dict = {}
+    for r in induce_trigger_gazetteer_filtered(
+        train, args.min_trigger_precision
+    ).collect():
+        by_type.setdefault(r["span_type"], []).append(r["term"])
+    tagger = GazetteerTagger(
+        gazetteers=tuple(
+            (t, tuple(sorted(terms))) for t, terms in sorted(by_type.items())
+        )
+    )
     manifest = save_model(
-        LinearPairScorer(feature_cols=(), weights=(), bias=0.0),
+        tagger,
         args.model_dir,
         metadata={"theme_model": {k: list(v) for k, v in theme_model.items()},
                   "spec": args.spec},
@@ -226,10 +243,15 @@ def main(argv=None) -> int:
     px.add_argument("--out", required=True)
     px.set_defaults(fn=cmd_extract)
 
-    pt = sub.add_parser("train", help="fit + save the theme model")
+    pt = sub.add_parser(
+        "train",
+        help="fit + save a predict-loadable artifact (gazetteer tagger "
+        "payload, theme model in metadata)",
+    )
     pt.add_argument("--spec", required=True)
     pt.add_argument("--corpus", required=True)
     pt.add_argument("--model-dir", required=True)
+    pt.add_argument("--min-trigger-precision", type=float, default=0.2)
     pt.set_defaults(fn=cmd_train)
 
     pl = sub.add_parser(

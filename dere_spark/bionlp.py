@@ -599,12 +599,16 @@ def induce_trigger_gazetteer_filtered(
     gaz = induce_trigger_gazetteer(train)
     if min_precision <= 0:
         return gaz
-    inst = train["instances"].select(
-        F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
-    )
+    # denominator over the SAME token surface detection matches: the
+    # punctuation-trimmed cores of instance_core_tokens. Counting raw
+    # tokens here made a term whose train occurrences always abut
+    # punctuation ('degradation.') invisible to the inner join — a
+    # perfectly reliable trigger silently vanished from the gazetteer —
+    # and undercounted n_occ (inflating precision) for the partial case.
     occurrences = (
-        tokenize(inst)
-        .select(F.lower("token").alias("term"))
+        instance_core_tokens(train)
+        .select(F.lower("core").alias("term"))
+        .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
@@ -643,11 +647,6 @@ def run_bionlp_eval_learned(
         F.col("left").alias("a_left"), F.col("right").alias("a_right"),
     )
     proteins = gold["spans"].where(
-        (F.col("source") == "given") & (F.col("span_type") == "Protein")
-    ).select(
-        "doc_id", "instance_idx",
-        F.col("f_left"), F.col("f_right"), F.col("filler_tag"),
-    ) if False else gold["spans"].where(
         (F.col("source") == "given") & (F.col("span_type") == "Protein")
     ).select(
         "doc_id", "instance_idx",
@@ -1020,11 +1019,12 @@ def induce_stem_gazetteer(
     )
     if min_precision <= 0:
         return gaz
-    inst = train["instances"].select(
-        F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
-    )
+    # denominator over trimmed cores — the surface detection matches
+    # (see induce_trigger_gazetteer_filtered for the raw-token hazard)
     occ = stem_tokens(
-        tokenize(inst).select(F.lower("token").alias("token"))
+        instance_core_tokens(train)
+        .where(F.col("core") != "")
+        .select(F.lower("core").alias("token"))
     ).groupBy(F.col("stem").alias("term")).agg(F.count(F.lit(1)).alias("n_occ"))
     trig = stemmed.groupBy("term").agg(F.count(F.lit(1)).alias("n_trig"))
     keep = occ.join(trig, "term").where(
@@ -1034,15 +1034,16 @@ def induce_stem_gazetteer(
 
 
 def detect_triggers_stemmed(corpus: Dict[str, DataFrame], stem_gaz: DataFrame) -> DataFrame:
-    """Trigger detection joining on the Porter stem of each token."""
+    """Trigger detection joining on the Porter stem of each token's
+    punctuation-trimmed CORE (the shared instance_core_tokens source every
+    other detection path uses — stemming the raw token would leave
+    'expression,' unstemmable and include the punctuation in offsets)."""
     from dere_spark.functions.porter import stem_tokens
 
-    inst = corpus["instances"].select(
-        F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"),
-        F.col("text"),
-    )
     toks = stem_tokens(
-        tokenize(inst).withColumn("token_lc", F.lower("token")),
+        instance_core_tokens(corpus)
+        .where(F.col("core") != "")
+        .withColumn("token_lc", F.lower("core")),
         token_col="token_lc",
     )
     hits = toks.join(
@@ -1052,9 +1053,9 @@ def detect_triggers_stemmed(corpus: Dict[str, DataFrame], stem_gaz: DataFrame) -
         F.split_part("doc_id", F.lit("#"), F.lit(1)).alias("doc_id"),
         F.split_part("doc_id", F.lit("#"), F.lit(2)).cast("int").alias("instance_idx"),
         "span_type",
-        "left",
-        "right",
-        F.col("token").alias("text"),
+        F.col("tleft").alias("left"),
+        F.col("tright").alias("right"),
+        F.col("core").alias("text"),
         F.lit("predicted").alias("source"),
     )
 
@@ -1105,7 +1106,17 @@ NESTED_FEATURE_COLS = (
 def trigger_stats(train: Dict[str, DataFrame]) -> DataFrame:
     """(term, trig_prec, trig_logn): how often a lowercased surface occurs
     as a gold trigger relative to its corpus occurrences — the continuous
-    form of induce_trigger_gazetteer_filtered's hard threshold."""
+    form of induce_trigger_gazetteer_filtered's hard threshold.
+
+    Known, ACCEPTED denominator mismatch: n_occ counts RAW tokens while
+    detection matches trimmed cores, so punctuation-adjacent occurrences
+    are missed and trig_prec runs slightly high for such terms. Unlike
+    the hard filter (which this mismatch made terms VANISH from — fixed
+    there), the right join's fallback denominator keeps every trigger
+    term present here, and trig_prec is a continuous FEATURE feeding
+    fitted-and-calibrated models (pinned held-out floors) — redefining
+    it is a measured A/B, not a bug fix, so the definition stays until
+    a probe shows the trimmed-core variant wins."""
     inst = train["instances"].select(
         F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
     )

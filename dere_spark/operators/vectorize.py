@@ -27,8 +27,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-# SQL string literal: each \\ reaches the regex engine as one backslash
-_TOKEN_PATTERN = r"\\w\\w+"  # maximal runs of >=2 word chars == sklearn default
+# SQL string literal: each \\ reaches the regex engine as one backslash.
+# (?U) makes Java's \w unicode-aware — sklearn's default token_pattern is
+# (?u)\b\w\w+\b, so without the flag 'café' tokenizes as 'caf' and the
+# vocabulary diverges from the sklearn reference on any non-ASCII corpus
+_TOKEN_PATTERN = r"(?U)\\w\\w+"  # maximal runs of >=2 word chars == sklearn default
 
 
 def cv_tokens(col_name: str, ngram: int = 1) -> F.Column:

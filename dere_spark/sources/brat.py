@@ -193,9 +193,19 @@ def parse_spans(ann_lines: DataFrame, instances: DataFrame, span_types: DataFram
         .join(F.broadcast(span_types), "span_type", "inner")
     )
     i = instances.select("doc_id", "instance_idx", "i_start", "i_end", F.col("text").alias("i_text"))
+    # the line's TEXT ends at i_end - 1 (i_end includes the newline slot
+    # in both termination cases) — admitting abs_right == i_end would
+    # attach a span ending one past the text, substring-truncate its
+    # reconstructed text, and let a zero-width span at a line boundary
+    # match two instances. Out-of-range T-lines join nothing; the
+    # reference would fail its load-time text assertion on them, and here
+    # they surface as a span-count difference vs the .a1/.a2 line count.
     return (
         t.join(i, "doc_id")
-        .where((F.col("abs_left") >= F.col("i_start")) & (F.col("abs_right") <= F.col("i_end")))
+        .where(
+            (F.col("abs_left") >= F.col("i_start"))
+            & (F.col("abs_right") <= F.col("i_end") - 1)
+        )
         .select(
             "doc_id",
             "instance_idx",
@@ -573,4 +583,17 @@ def dump_brat(
             columns=["doc_id", "txt", "a1", "a2"],
         )
 
-    return tagged.groupBy("doc_id").applyInPandas(render, out_schema)
+    out = tagged.groupBy("doc_id").applyInPandas(render, out_schema)
+    if just_predictions:
+        # reference parity (brat_corpus_io.py:38-42): just_predictions
+        # routes the .txt and .a1 streams to devnull and writes ONLY the
+        # .a2 file — it does NOT filter a2 by source (given rows still go
+        # to a1, everything else to a2, in both modes). Null columns are
+        # the DataFrame analog of devnull; the CLI sink writes only .a2.
+        out = out.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("txt"),
+            F.lit(None).cast("string").alias("a1"),
+            "a2",
+        )
+    return out

@@ -141,7 +141,10 @@ _DTD_ATTRS = {
     "spans": (set(), set()),
     "frames": (set(), set()),
     "span": ({"name", "predict"}, set()),
-    "frame": (set(), {"name"}),  # name is #IMPLIED in the DTD
+    # the DTD marks frame name #IMPLIED, but BOTH loaders (reference
+    # taskspec.py:110 and ours) unconditionally read attrib["name"] — the
+    # validator exists to catch that before the KeyError, so it requires it
+    "frame": ({"name"}, set()),
     "slot": (
         {"name", "types"},
         {"cardinality", "mincardinality", "maxcardinality"},
@@ -200,6 +203,19 @@ def validate_task_spec_structure(root: "ET.Element", path: str = "<spec>") -> No
                     + f", found <{child.tag}>"
                 )
             walk(child)
+        if el.tag == "span":
+            v = el.attrib["predict"]
+            # the reference loader (taskspec.py:97-101) treats EXACTLY
+            # "True" as true and anything else as false — so a spec
+            # writing predict="true" would silently load as a GIVEN
+            # type; reject the ambiguity here instead
+            if v not in ("True", "False"):
+                fail(
+                    f"<span name={el.attrib.get('name', '?')!r}> "
+                    f"predict={v!r} must be exactly 'True' or 'False' "
+                    f"(the reference matches 'True' case-sensitively and "
+                    f"silently treats everything else as False)"
+                )
         if el.tag == "slot":
             bounds = {}
             for attr in ("cardinality", "mincardinality", "maxcardinality"):
@@ -217,6 +233,19 @@ def validate_task_spec_structure(root: "ET.Element", path: str = "<spec>") -> No
                             f"{attr}={v} is negative"
                         )
                     bounds[attr] = v
+            # the loaders (reference taskspec.py:138-144 and ours) let a
+            # bare `cardinality` OVERRIDE explicit min/max because it is
+            # checked last — a spec mixing both forms would validate
+            # against one reading and load as another; reject the mix
+            if "cardinality" in bounds and (
+                "mincardinality" in bounds or "maxcardinality" in bounds
+            ):
+                fail(
+                    f"<slot name={el.attrib.get('name', '?')!r}> mixes "
+                    f"cardinality with mincardinality/maxcardinality — "
+                    f"the loader would silently let cardinality override; "
+                    f"use one form"
+                )
             lo = bounds.get("mincardinality", bounds.get("cardinality"))
             hi = bounds.get("maxcardinality", bounds.get("cardinality"))
             if lo is not None and hi is not None and lo > hi:

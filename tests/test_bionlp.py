@@ -92,3 +92,40 @@ def test_learned_nested_hits_quality_gate(spark):
     r = run_bionlp_eval_learned_nested(spark, TRAIN, TRAIN)
     assert r.fscore("frame") >= 0.40, r.fscore("frame")
     assert r.fscore("span") >= 0.78, r.fscore("span")
+
+
+def test_stemmed_trigger_detection_trims_punctuation(spark):
+    """The stem path shares instance_core_tokens: a trigger abutting
+    punctuation ('degradations.') must still stem-match and carry offsets
+    that exclude the punctuation."""
+    from dere_spark.bionlp import (
+        detect_triggers_stemmed,
+        induce_stem_gazetteer,
+    )
+
+    train = {
+        "instances": spark.createDataFrame(
+            [("t1", 0, "rapid degradation of IkB", 0, 25)],
+            "doc_id string, instance_idx int, text string, i_start int, i_end int",
+        ),
+        "spans": spark.createDataFrame(
+            [("t1", 0, "T1", "Protein_catabolism", 6, 17, "degradation",
+              "degradation", "gold", 1, 1)],
+            "doc_id string, instance_idx int, tag string, span_type string, "
+            "left int, right int, span_text string, text string, source string, "
+            "file_index int, line_no int",
+        ),
+    }
+    corpus = {
+        "instances": spark.createDataFrame(
+            [("d1", 0, "protein degradations. occur", 0, 28)],
+            "doc_id string, instance_idx int, text string, i_start int, i_end int",
+        ),
+    }
+    gaz = induce_stem_gazetteer(train)
+    hits = detect_triggers_stemmed(corpus, gaz).collect()
+    assert len(hits) == 1
+    h = hits[0]
+    # offsets cover the trimmed core 'degradations', not the trailing dot
+    assert (h["left"], h["right"], h["text"]) == (8, 20, "degradations")
+    assert h["span_type"] == "Protein_catabolism"

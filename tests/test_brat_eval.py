@@ -263,3 +263,32 @@ def test_frame_eval_two_slots_same_target_deterministic(spark):
             for row in frame_eval_counts(side, side).collect()
         }
         assert counts == {"Regulation": (1, 0, 0), "Expression": (1, 0, 0)}
+
+
+def test_span_ending_at_newline_slot_not_loaded(spark, spec, tmp_path):
+    """A T-line whose right offset lands ON the line's newline position
+    must not attach to the instance (the line TEXT ends one char
+    earlier); admitting it would load a substring-truncated span. The
+    reference crashes its load-time text assertion on such a line."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "d1.txt").write_text("abc def\nghi jkl\n")
+    # line 1 text is [0, 7); offset 8 is the newline slot
+    (src / "d1.a1").write_text(
+        "T1\tProtein 4 7\tdef\n"      # valid: ends at text end
+        "T2\tProtein 4 8\tdef\n"      # ends ON the newline -> must not load
+    )
+    corpus = load_brat(spark, str(src), spec)
+    tags = {r["tag"] for r in corpus["spans"].collect()}
+    assert "T1" in tags and "T2" not in tags
+
+
+def test_dump_just_predictions_nulls_txt_and_a1(spark, corpus):
+    """Reference parity (brat_corpus_io.py:38-42): just_predictions routes
+    .txt/.a1 to devnull and writes only .a2 — it does NOT filter a2 by
+    source. Null columns are the DataFrame analog."""
+    rows = {r["doc_id"]: r for r in dump_brat(corpus, just_predictions=True).collect()}
+    full = {r["doc_id"]: r for r in dump_brat(corpus, just_predictions=False).collect()}
+    for doc_id, r in rows.items():
+        assert r["txt"] is None and r["a1"] is None
+        assert r["a2"] == full[doc_id]["a2"]  # a2 identical in both modes

@@ -66,6 +66,28 @@ def test_train_cli(tmp_path):
 
     manifest = json.load(open(model_dir / "manifest.json"))
     assert "Gene_expression" in manifest["metadata"]["theme_model"]
+    # the payload must be the class `predict --model-dir` hard-requires —
+    # the old empty-LinearPairScorer shell made the train->predict
+    # lifecycle always raise a class-mismatch error
+    assert manifest["model_class"].endswith("GazetteerTagger")
+
+
+@pytest.mark.slow
+def test_train_then_predict_lifecycle(tmp_path):
+    """The advertised train -> predict cycle end-to-end: the artifact
+    `train` saves must load and predict under `predict --model-dir`."""
+    model_dir = tmp_path / "model"
+    r = _run("train", "--spec", SPEC, "--corpus", TRAIN, "--model-dir", str(model_dir))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "pred"
+    r2 = _run(
+        "predict", "--spec", SPEC, "--corpus", TEST,
+        "--model-dir", str(model_dir), "--out", str(out),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    a2s = sorted(glob.glob(f"{out}/*.a2"))
+    assert len(a2s) == 4
+    assert any(l.startswith("E") for l in open(a2s[0]).read().splitlines())
 
 
 def test_score_legacy_cli():

@@ -170,3 +170,58 @@ def test_structure_empty_element_with_children(tmp_path):
     )
     with pytest.raises(TaskSpecStructureError, match="EMPTY"):
         load_task_spec(p)
+
+
+def test_structure_predict_value_must_be_exact(tmp_path):
+    """predict='true' would silently load as False (the reference matches
+    'True' case-sensitively) — the validator rejects the ambiguity."""
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="true"/></spans></deREschema>',
+    )
+    with pytest.raises(TaskSpecStructureError, match="exactly 'True'"):
+        load_task_spec(p)
+
+
+def test_structure_frame_name_required(tmp_path):
+    """The DTD marks frame name #IMPLIED but both loaders read it
+    unconditionally — the validator requires it so a nameless frame fails
+    with a clear message instead of a KeyError."""
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="True"/></spans>'
+        "<frames><frame><slot name=\"S\" types=\"T\"/></frame></frames>"
+        "</deREschema>",
+    )
+    with pytest.raises(TaskSpecStructureError, match="missing required"):
+        load_task_spec(p)
+
+
+def test_structure_mixed_cardinality_forms_rejected(tmp_path):
+    """cardinality + min/maxcardinality together is ambiguous: the loader
+    (like the reference) lets cardinality override, so a spec mixing both
+    would validate as one reading and load as another."""
+    import pytest
+
+    from dere_spark.taskspec import TaskSpecStructureError, load_task_spec
+
+    p = _write(
+        tmp_path,
+        '<deREschema name="x" version="0" author="a">'
+        '<spans><span name="T" predict="True"/></spans>'
+        '<frames><frame name="F">'
+        '<slot name="S" types="T" cardinality="1" maxcardinality="2"/>'
+        "</frame></frames></deREschema>",
+    )
+    with pytest.raises(TaskSpecStructureError, match="mixes"):
+        load_task_spec(p)
