@@ -1103,27 +1103,48 @@ NESTED_FEATURE_COLS = (
 )
 
 
+# A/B flag (VERDICT r5 #4): when True, trigger_stats counts punctuation-
+# trimmed CORES (instance_core_tokens) in its precision denominator — the
+# definition detection actually matches — instead of raw whitespace tokens.
+# Measured on tutorial/train, full two-stage retrain under each definition
+# (BASELINE.md r6 "trigger_stats denominator A/B"): raw 0.8062 span /
+# 0.4172 frame F1 vs cores 0.8095 / 0.4151 — a precision/recall trade
+# (span P 0.8667->0.8947, R 0.7536->0.7391), not a win; frame F1 slightly
+# degrades. The pinned definition is KEPT (False) with a measured verdict
+# behind it instead of a docstring apology.
+_TRIG_STATS_CORE_DENOM = False
+
+
 def trigger_stats(train: Dict[str, DataFrame]) -> DataFrame:
     """(term, trig_prec, trig_logn): how often a lowercased surface occurs
     as a gold trigger relative to its corpus occurrences — the continuous
     form of induce_trigger_gazetteer_filtered's hard threshold.
 
-    Known, ACCEPTED denominator mismatch: n_occ counts RAW tokens while
-    detection matches trimmed cores, so punctuation-adjacent occurrences
-    are missed and trig_prec runs slightly high for such terms. Unlike
-    the hard filter (which this mismatch made terms VANISH from — fixed
-    there), the right join's fallback denominator keeps every trigger
-    term present here, and trig_prec is a continuous FEATURE feeding
-    fitted-and-calibrated models (pinned held-out floors) — redefining
-    it is a measured A/B, not a bug fix, so the definition stays until
-    a probe shows the trimmed-core variant wins."""
+    Known, MEASURED-ACCEPTED denominator mismatch: n_occ counts RAW tokens
+    while detection matches trimmed cores, so punctuation-adjacent
+    occurrences are missed and trig_prec runs slightly high for such
+    terms. Unlike the hard filter (which this mismatch made terms VANISH
+    from — fixed there), the right join's fallback denominator keeps every
+    trigger term present here, and trig_prec is a continuous FEATURE
+    feeding fitted-and-calibrated models. The r6 A/B
+    (_TRIG_STATS_CORE_DENOM, BASELINE.md) retrained both stages under the
+    trimmed-core denominator: a +-0.003 precision/recall trade with frame
+    F1 slightly down — the definition is kept on a measured verdict, not
+    on faith."""
     inst = train["instances"].select(
         F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
     )
-    occ = (
-        tokenize(inst).select(F.lower("token").alias("term"))
-        .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
-    )
+    if _TRIG_STATS_CORE_DENOM:
+        occ = (
+            instance_core_tokens(train)
+            .select(F.lower("core").alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+    else:
+        occ = (
+            tokenize(inst).select(F.lower("token").alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+        )
     tr = (
         train["spans"].where(F.col("source") == "gold")
         .groupBy(F.lower(F.col("text")).alias("term"))

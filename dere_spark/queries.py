@@ -2203,23 +2203,26 @@ _register_vectorize()
 
 
 # ---------------------------------------------------------------------------
-# Driver window curation (round 5 rotation).
+# Driver window curation (round 6 rotation).
 #
 # The external driver's CORRECTNESS artifact caps at the FIRST 50 queries in
 # registry order, so which operators receive the hard external signal is a
 # curation decision, not an accident (VERDICT r3 "What's wrong #2").
 # DRIVER_WINDOW is the explicit 50-slot ordering handed to the driver this
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
-# a driver row.  Round-5 swap: the 8 gates parked in r4 (last driver row:
-# CORRECTNESS_r03) rotate back in as the lead; the 8 gates that received
-# their first green rows in CORRECTNESS_r04 park for exactly one round.
+# a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
+# CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
+# fresh green rows in CORRECTNESS_r05 park for exactly one round.
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
-# every run by tests/test_oracle_parity.py.
+# every run by tests/test_oracle_parity.py, which also asserts
+# ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
+# consecutive driver rounds" invariant as CI, not prose (VERDICT r5 #1).
 # ---------------------------------------------------------------------------
 
-ROTATED_OUT: tuple = (
-    # Fresh green driver rows in CORRECTNESS_r04 (slots 1-8 that round);
-    # parked for one round so the r03-verified 8 regain recent rows.
+# The set parked LAST round (r5).  Each rotation copies the outgoing
+# ROTATED_OUT here before writing the new one; the curation test asserts
+# the two sets are disjoint, so a gate can never sit out twice in a row.
+_PREV_ROTATED_OUT: tuple = (
     "sim_ivf_topk",
     "sim_kmeans_buckets",
     "sim_ivf_batch_topk",
@@ -2230,8 +2233,9 @@ ROTATED_OUT: tuple = (
     "text_bow_counts",
 )
 
-_WINDOW_LEAD = (
-    # -- last driver row CORRECTNESS_r03; rotated back in for r05 rows --
+ROTATED_OUT: tuple = (
+    # Fresh green driver rows in CORRECTNESS_r05 (slots 1-8 that round);
+    # parked for one round so the r04-verified 8 regain recent rows.
     "doc_lang_dist",
     "join_full_outer_orders",
     "agg_pricing_summary",
@@ -2240,6 +2244,18 @@ _WINDOW_LEAD = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
+)
+
+_WINDOW_LEAD = (
+    # -- last driver row CORRECTNESS_r04; rotated back in for r06 rows --
+    "sim_ivf_topk",
+    "sim_kmeans_buckets",
+    "sim_ivf_batch_topk",
+    "graph_shortest_path",
+    "graph_span_paths",
+    "skew_salted_counts",
+    "dedup_embedding_pairs",
+    "text_bow_counts",
 )
 
 # lead gates first, then keepers in long-standing registry order, sliced

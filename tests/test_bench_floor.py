@@ -57,3 +57,19 @@ def test_flagship_throughput_floor():
         )
     finally:
         spark.stop()
+
+
+def test_scaling_window_guard():
+    """The contaminated-window guard (VERDICT r5 #3): scaling JSON rows
+    launched into ambient load are stamped so they can never be mistaken
+    for a clean-series sample. Threshold is the documented methodology
+    bound (1-min loadavg < 0.5 at launch)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import scaling_window
+
+    assert scaling_window(0.0) == "clean"
+    assert scaling_window(0.49) == "clean"
+    assert scaling_window(0.5) == "contaminated"
+    assert scaling_window(17.31) == "contaminated"
+    # threshold is overridable but defaults to the methodology bound
+    assert scaling_window(0.9, threshold=1.0) == "clean"

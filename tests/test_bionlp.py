@@ -129,3 +129,34 @@ def test_stemmed_trigger_detection_trims_punctuation(spark):
     # offsets cover the trimmed core 'degradations', not the trailing dot
     assert (h["left"], h["right"], h["text"]) == (8, 20, "degradations")
     assert h["span_type"] == "Protein_catabolism"
+
+
+def test_trigger_stats_denominator_ab_flag(spark):
+    """r6 A/B seam (VERDICT r5 #4): the shipped trigger_stats counts RAW
+    tokens in its denominator ('degradation.' is a different raw token, so
+    punctuation-adjacent occurrences don't dilute trig_prec); the
+    _TRIG_STATS_CORE_DENOM variant counts trimmed cores and does. The
+    measured A/B verdict (BASELINE.md r6) keeps the raw definition; this
+    test pins that the flag actually switches the semantics."""
+    import dere_spark.bionlp as B
+
+    train = {
+        "instances": spark.createDataFrame(
+            [("t1", 0, "rapid degradation of IkB causes degradation.", 0, 45)],
+            "doc_id string, instance_idx int, text string, i_start int, i_end int",
+        ),
+        "spans": spark.createDataFrame(
+            [("t1", 0, 6, 17, "Negative_regulation", "degradation", "gold")],
+            "doc_id string, instance_idx int, left int, right int, "
+            "span_type string, text string, source string",
+        ),
+    }
+    raw = {r["term"]: r["trig_prec"] for r in B.trigger_stats(train).collect()}
+    assert raw["degradation"] == 1.0  # 1 gold / 1 raw occurrence
+    old = B._TRIG_STATS_CORE_DENOM
+    try:
+        B._TRIG_STATS_CORE_DENOM = True
+        core = {r["term"]: r["trig_prec"] for r in B.trigger_stats(train).collect()}
+    finally:
+        B._TRIG_STATS_CORE_DENOM = old
+    assert core["degradation"] == 0.5  # 1 gold / 2 trimmed-core occurrences

@@ -37,22 +37,31 @@ def test_driver_window_is_curated():
     import importlib.util
     from pathlib import Path
 
-    from dere_spark.queries import DRIVER_WINDOW, ROTATED_OUT
+    from dere_spark.queries import _PREV_ROTATED_OUT, DRIVER_WINDOW, ROTATED_OUT
 
     assert len(DRIVER_WINDOW) == 50
     assert set(DRIVER_WINDOW).isdisjoint(ROTATED_OUT)
     assert set(DRIVER_WINDOW) | set(ROTATED_OUT) == set(QUERIES)
-    # r5 rotation: the 8 gates whose last driver row is CORRECTNESS_r03
-    # lead; the 8 freshly verified in CORRECTNESS_r04 are parked one round
-    assert DRIVER_WINDOW[:8] == (
-        "doc_lang_dist", "join_full_outer_orders", "agg_pricing_summary",
-        "set_union_distinct", "set_intersect_except", "regex_class_rewrite",
-        "window_rank_kinds", "events_json_extract",
+    # The rotation invariant as CI (VERDICT r5 #1): a gate parked last round
+    # must be in the window this round — no gate misses two consecutive
+    # driver rounds.  Each rotation copies the outgoing ROTATED_OUT into
+    # _PREV_ROTATED_OUT before writing the new one.
+    assert set(ROTATED_OUT).isdisjoint(_PREV_ROTATED_OUT), (
+        "a gate is parked two consecutive rounds: "
+        f"{set(ROTATED_OUT) & set(_PREV_ROTATED_OUT)}"
     )
-    assert ROTATED_OUT == (
+    assert set(_PREV_ROTATED_OUT) <= set(DRIVER_WINDOW)
+    # r6 rotation: the 8 gates whose last driver row is CORRECTNESS_r04
+    # lead; the 8 freshly verified in CORRECTNESS_r05 are parked one round
+    assert DRIVER_WINDOW[:8] == (
         "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
         "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
         "dedup_embedding_pairs", "text_bow_counts",
+    )
+    assert ROTATED_OUT == (
+        "doc_lang_dist", "join_full_outer_orders", "agg_pricing_summary",
+        "set_union_distinct", "set_intersect_except", "regex_class_rewrite",
+        "window_rank_kinds", "events_json_extract",
     )
 
     spec = importlib.util.spec_from_file_location(
