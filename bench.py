@@ -150,8 +150,11 @@ def main() -> None:
         # launched into ambient tenant load produces a number that looks
         # like a scaling regression but is noise (the r5 0.722 session).
         # Stamp the verdict INTO the artifact so a bad session can never
-        # be averaged into the clean series by mistake.
-        out["scaling_window"] = scaling_window(os.getloadavg()[0])
+        # be averaged into the clean series by mistake.  Judged on the
+        # loadavg captured at LAUNCH (before the headline suite): by this
+        # point the suite's own 32 threads dominate the 1-min loadavg, and
+        # stamping on that would brand every session contaminated.
+        out["scaling_window"] = scaling_window(load_start[0])
         out["scaling"] = _scaling_run()
         t1 = out["scaling"]["local-cluster[1x8]"]["wall_sec"]
         t4 = out["scaling"]["local-cluster[4x8]"]["wall_sec"]
