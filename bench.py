@@ -156,6 +156,12 @@ def main() -> None:
         # stamping on that would brand every session contaminated.
         out["scaling_window"] = scaling_window(load_start[0])
         out["scaling"] = _scaling_run()
+        # The launch stamp can't see contamination ARRIVING mid-session;
+        # record the post-scaling loadavg too, and note that the in-session
+        # detector is wall_all_runs itself — the r5 contaminated artifact
+        # showed monotonic 54.2->59.8->63.9 degradation across repeats
+        # while a clean session's repeats are flat (BASELINE.md).
+        out["loadavg"]["end_scaling"] = [round(x, 2) for x in os.getloadavg()]
         t1 = out["scaling"]["local-cluster[1x8]"]["wall_sec"]
         t4 = out["scaling"]["local-cluster[4x8]"]["wall_sec"]
         out["scaling_efficiency"] = round((t1 / t4) / 4.0, 3)

@@ -1131,9 +1131,6 @@ def trigger_stats(train: Dict[str, DataFrame]) -> DataFrame:
     trimmed-core denominator: a +-0.003 precision/recall trade with frame
     F1 slightly down — the definition is kept on a measured verdict, not
     on faith."""
-    inst = train["instances"].select(
-        F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
-    )
     if _TRIG_STATS_CORE_DENOM:
         occ = (
             instance_core_tokens(train)
@@ -1141,6 +1138,9 @@ def trigger_stats(train: Dict[str, DataFrame]) -> DataFrame:
             .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
         )
     else:
+        inst = train["instances"].select(
+            F.concat_ws("#", "doc_id", "instance_idx").alias("doc_id"), "text"
+        )
         occ = (
             tokenize(inst).select(F.lower("token").alias("term"))
             .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))

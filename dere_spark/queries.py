@@ -2219,20 +2219,6 @@ _register_vectorize()
 # consecutive driver rounds" invariant as CI, not prose (VERDICT r5 #1).
 # ---------------------------------------------------------------------------
 
-# The set parked LAST round (r5).  Each rotation copies the outgoing
-# ROTATED_OUT here before writing the new one; the curation test asserts
-# the two sets are disjoint, so a gate can never sit out twice in a row.
-_PREV_ROTATED_OUT: tuple = (
-    "sim_ivf_topk",
-    "sim_kmeans_buckets",
-    "sim_ivf_batch_topk",
-    "graph_shortest_path",
-    "graph_span_paths",
-    "skew_salted_counts",
-    "dedup_embedding_pairs",
-    "text_bow_counts",
-)
-
 ROTATED_OUT: tuple = (
     # Fresh green driver rows in CORRECTNESS_r05 (slots 1-8 that round);
     # parked for one round so the r04-verified 8 regain recent rows.
@@ -2257,6 +2243,14 @@ _WINDOW_LEAD = (
     "dedup_embedding_pairs",
     "text_bow_counts",
 )
+
+# The set parked LAST round — under the swap cadence the parked set always
+# rotates back in as this round's lead, so this is an ALIAS of
+# _WINDOW_LEAD, not a hand-maintained copy (a copy could silently go stale
+# and make the curation test validate against the wrong previous round).
+# If a future rotation ever leads with a different subset, replace the
+# alias with the actual outgoing ROTATED_OUT tuple.
+_PREV_ROTATED_OUT: tuple = _WINDOW_LEAD
 
 # lead gates first, then keepers in long-standing registry order, sliced
 # to the driver's 50-slot cap. FAIL-SOFT by construction: registering a

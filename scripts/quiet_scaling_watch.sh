@@ -16,8 +16,9 @@ while true; do
   if [ "$quiet" = 1 ] && [ "$prev_quiet" = 1 ]; then
     echo "$(date -u +%FT%TZ) launching scaling session" >> "$LOG"
     SPARK_GRAFT_SCALING=1 python bench.py > "$OUT" 2>> "$LOG"
-    echo "$(date -u +%FT%TZ) done rc=$?" >> "$LOG"
-    exit 0
+    rc=$?  # must be captured before the next $(date) substitution resets $?
+    echo "$(date -u +%FT%TZ) done rc=$rc" >> "$LOG"
+    exit "$rc"
   fi
   prev_quiet=$quiet
   sleep 120

@@ -13,7 +13,6 @@ shuffle-partition counts — and asserting the sorted-row md5 is identical.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import subprocess
 import sys
