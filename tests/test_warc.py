@@ -1,0 +1,182 @@
+"""WARC ingestion + baseline html->text extraction (sources/warc.py).
+
+The archives are synthesized deterministically in-test (no external data,
+per the round rules): exact CRLF framing per ISO 28500, one request +
+two response records, a gzipped multi-member variant (the Common Crawl
+``.warc.gz`` convention: one gzip member per record)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from dere_spark.sources.warc import (
+    _decompress_members,
+    html_to_text,
+    iter_warc_records,
+    load_warc,
+    web_pages_from_warc,
+)
+
+HTML_A = (
+    b"<html><head><title>T</title><style>body{color:red}</style>"
+    b"<script>var x = '<p>not text</p>';</script></head>"
+    b"<body><!-- hidden --><h1>The data table</h1>"
+    b"<p>value &amp; more &lt;stuff&gt; the the</p></body></html>"
+)
+HTML_B = b"<html><body><p>los datos de la tabla con valor</p></body></html>"
+
+
+def _record(rtype: str, url: str, date: str, block: bytes, ctype: str) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + block + b"\r\n\r\n"
+
+
+def _http_response(body: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+
+
+def make_warc() -> bytes:
+    return (
+        _record(
+            "request",
+            "http://a.example/",
+            "2024-01-02T03:04:05Z",
+            b"GET / HTTP/1.1\r\n\r\n",
+            "application/http; msgtype=request",
+        )
+        + _record(
+            "response",
+            "http://a.example/",
+            "2024-01-02T03:04:05Z",
+            _http_response(HTML_A),
+            "application/http; msgtype=response",
+        )
+        + _record(
+            "response",
+            "http://b.example/",
+            "2024-01-02T03:04:06.500000Z",
+            _http_response(HTML_B),
+            "application/http; msgtype=response",
+        )
+    )
+
+
+def test_iter_warc_records_framing():
+    recs = list(iter_warc_records(make_warc()))
+    assert [r["type"] for r in recs] == ["request", "response", "response"]
+    assert recs[1]["url"] == "http://a.example/"
+    # block is the full HTTP message; Content-Length framing is exact
+    assert recs[1]["block"].endswith(HTML_A)
+    assert recs[2]["block"].endswith(HTML_B)
+
+
+def test_decompress_multi_member_gzip():
+    raw = make_warc()
+    third = len(raw) // 3
+    members = gzip.compress(raw[:third]) + gzip.compress(raw[third:])
+    assert _decompress_members(members) == raw
+    assert _decompress_members(raw) == raw  # plain passthrough
+
+
+def test_load_warc_parses_responses(spark, tmp_path):
+    (tmp_path / "crawl-00000.warc").write_bytes(make_warc())
+    (tmp_path / "crawl-00001.warc.gz").write_bytes(gzip.compress(make_warc()))
+    df = load_warc(spark, str(tmp_path)).orderBy("warc_file", "record_index")
+    rows = df.collect()
+    # 2 response records per archive; the request record is filtered
+    assert len(rows) == 4
+    assert {r["warc_type"] for r in rows} == {"response"}
+    a = rows[0]
+    assert a["url"] == "http://a.example/"
+    assert bytes(a["html"]) == HTML_A  # HTTP headers stripped from the body
+    assert a["warc_ts"].isoformat().startswith("2024-01-02T03:04:05")
+    assert rows[1]["warc_ts"].microsecond == 500000  # WARC/1.1 fractional
+    assert not a["truncated"]
+
+
+def test_load_warc_truncation_is_loud(spark, tmp_path):
+    (tmp_path / "c.warc").write_bytes(make_warc())
+    df = load_warc(spark, str(tmp_path), max_payload_bytes=10)
+    rows = {r["url"]: r for r in df.collect()}
+    assert all(r["truncated"] for r in rows.values())
+    assert all(len(bytes(r["html"])) == 10 for r in rows.values())
+
+
+def test_html_to_text_extraction(spark):
+    df = spark.createDataFrame([(HTML_A,)], "html binary").select(
+        html_to_text(F.col("html")).alias("text")
+    )
+    text = df.first()["text"]
+    # script/style/comment subtrees dropped entirely
+    assert "color:red" not in text and "not text" not in text
+    assert "hidden" not in text
+    # entities decoded, tags to spaces, whitespace collapsed
+    assert text == "T The data table value & more <stuff> the the"
+
+
+def test_html_to_text_amp_decodes_last(spark):
+    df = spark.createDataFrame([(b"&amp;lt;x",)], "html binary").select(
+        html_to_text(F.col("html")).alias("text")
+    )
+    assert df.first()["text"] == "&lt;x"  # NOT '<x': &amp; decodes last
+
+
+def test_web_pages_from_warc_input_hint_shape(spark, tmp_path):
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(make_warc()))
+    df = web_pages_from_warc(spark, str(tmp_path))
+    # exactly the BASELINE input-hint schema
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    types = dict(df.dtypes)
+    assert types["warc_ts"] == "timestamp"
+    assert types["html"] == "binary"
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows["http://a.example/"]["lang"] == "en"  # 'the' markers
+    assert rows["http://b.example/"]["lang"] == "es"  # 'la'/'tabla'/'valor'
+    assert rows["http://a.example/"]["text"].startswith("T The data table")
+
+
+def test_web_pages_feed_load_documents(spark, tmp_path):
+    """The ingested table IS the engine's input: written as
+    ``documents.parquet``, ``load_documents`` normalizes the web shape
+    (url -> doc_id, synthesized source) with the text bytes untouched."""
+    from dere_spark.sources.documents import load_documents
+
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "c.warc").write_bytes(make_warc())
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    pages = web_pages_from_warc(spark, str(warc_dir))
+    pages.write.parquet(str(sf_dir / "documents.parquet"))
+
+    docs = load_documents(spark, str(sf_dir))
+    assert docs.columns == ["doc_id", "text", "lang", "source"]
+    got = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {r["url"]: r["text"] for r in pages.collect()}
+    assert got == want  # byte-identical text per url through the loader
+
+    # recomputing the extraction matches what was written: text is a pure
+    # function of html, never mutated in place
+    raw = spark.read.parquet(str(sf_dir / "documents.parquet"))
+    same = raw.select((F.col("text") == html_to_text(F.col("html"))).alias("s"))
+    assert all(r["s"] for r in same.collect())
+
+
+@pytest.mark.parametrize("junk", [b"", b"garbage-before-", b"\x00\x01\x02"])
+def test_iter_warc_records_resyncs_on_junk(junk):
+    data = junk + make_warc()
+    recs = list(iter_warc_records(data))
+    assert [r["type"] for r in recs] == ["request", "response", "response"]
