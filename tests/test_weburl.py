@@ -1,0 +1,90 @@
+"""URL canonicalization + latest-snapshot dedup (operators/weburl.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from dere_spark.operators.weburl import canonicalize_url, latest_snapshot
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", canonicalize_url(F.col("url")).alias("c")
+    )
+    return {r["url"]: r["c"] for r in df.collect()}
+
+
+def test_canonicalize_url_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://Example.COM/Path",
+            "http://example.com:80/a",
+            "https://example.com:443/a",
+            "https://example.com:8443/a",
+            "http://example.com",
+            "http://example.com/a?b=1#frag",
+            "http://example.com/a?",
+            "http://example.com/a?x=2&a=1",
+        ],
+    )
+    assert got["HTTP://Example.COM/Path"] == "http://example.com/Path"
+    assert got["http://example.com:80/a"] == "http://example.com/a"
+    assert got["https://example.com:443/a"] == "https://example.com/a"
+    # non-default port kept
+    assert got["https://example.com:8443/a"] == "https://example.com:8443/a"
+    # empty path -> '/'
+    assert got["http://example.com"] == "http://example.com/"
+    # fragment dropped, query kept
+    assert got["http://example.com/a?b=1#frag"] == "http://example.com/a?b=1"
+    # empty query dropped
+    assert got["http://example.com/a?"] == "http://example.com/a"
+    # query params NOT reordered (identity-preserving by design)
+    assert got["http://example.com/a?x=2&a=1"] == "http://example.com/a?x=2&a=1"
+
+
+def test_canonicalize_case_only_path_distinct(spark):
+    got = _canon(spark, ["http://a.com/X", "http://a.com/x"])
+    # paths are case-sensitive; only scheme/host fold
+    assert got["http://a.com/X"] != got["http://a.com/x"]
+
+
+def test_latest_snapshot_keeps_newest(spark):
+    rows = [
+        ("HTTP://A.com/p", datetime(2024, 1, 1), "old"),
+        ("http://a.com:80/p", datetime(2024, 3, 1), "new"),
+        ("http://a.com/p?v=1", datetime(2024, 2, 1), "other-page"),
+        ("http://b.com/", datetime(2024, 1, 1), "b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = latest_snapshot(df)
+    got = {r["canonical_url"]: r for r in out.collect()}
+    assert set(got) == {
+        "http://a.com/p",
+        "http://a.com/p?v=1",
+        "http://b.com/",
+    }
+    # the two captures of a.com/p collapse to the March one
+    assert got["http://a.com/p"]["text"] == "new"
+    assert got["http://a.com/p"]["url"] == "http://a.com:80/p"
+
+
+def test_latest_snapshot_tiebreak_deterministic(spark):
+    ts = datetime(2024, 1, 1)
+    rows = [("http://a.com/p", ts, "x"), ("HTTP://a.com/p", ts, "y")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    # equal warc_ts: raw-url ascending wins, independent of input order
+    assert latest_snapshot(df).first()["url"] == "HTTP://a.com/p"
+
+
+def test_latest_snapshot_plan_single_exchange(spark):
+    df = spark.createDataFrame(
+        [("http://a.com/p", datetime(2024, 1, 1), "x")],
+        "url string, warc_ts timestamp, text string",
+    )
+    plan = latest_snapshot(df)._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange (the window partition), no join in the plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
