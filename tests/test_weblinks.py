@@ -1,0 +1,73 @@
+"""Outlink extraction and host-graph edges (operators/weblinks.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dere_spark.operators.weblinks import extract_links, host_edges
+
+PAGE = (
+    b"<html><body>"
+    b'<a href="https://other.example/x">Abs <b>link</b></a>'
+    b'<a href="//cdn.example/lib.html">proto-rel</a>'
+    b'<a href="/root.html">root</a>'
+    b'<a href="sibling.html">rel</a>'
+    b'<a href="#frag">frag only</a>'
+    b'<a href="javascript:void(0)">js</a>'
+    b'<a href="mailto:x@example.com">mail</a>'
+    b'<a href="/dup.html">d1</a>'
+    b'<a href="/dup.html">d2</a>'
+    b"</body></html>"
+)
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [("https://src.example:8443/a/b/page.html", PAGE)], "url string, html binary"
+    )
+
+
+def test_extract_links_resolution(spark):
+    links = extract_links(_pages(spark)).collect()
+    got = {(r["dst_url"], r["anchor"]) for r in links}
+    assert ("https://other.example/x", "Abs link") in got  # nested tag stripped
+    assert ("https://cdn.example/lib.html", "proto-rel") in got
+    assert ("https://src.example:8443/root.html", "root") in got
+    # path-relative resolves against the source DIRECTORY
+    assert ("https://src.example:8443/a/b/sibling.html", "rel") in got
+    # fragment-only / js / mailto dropped
+    assert all("frag" not in a and a not in ("js", "mail") for _, a in got)
+    # duplicate edges kept (multiplicity is signal)
+    assert len([r for r in links if r["dst_url"].endswith("/dup.html")]) == 2
+    assert len(links) == 6
+
+
+def test_extract_links_no_shuffle(spark):
+    plan = (
+        extract_links(_pages(spark))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # extraction is map-side only
+
+
+def test_host_edges(spark):
+    edges = host_edges(extract_links(_pages(spark)))
+    got = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    # self-host edges dropped, duplicates collapsed
+    assert got == {
+        ("src.example", "other.example"),
+        ("src.example", "cdn.example"),
+    }
+
+
+def test_host_edges_feed_connected_components(spark):
+    """The host graph slots into the engine's existing graph family."""
+    from dere_spark.operators.graph import connected_components
+
+    edges = host_edges(extract_links(_pages(spark))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    comps = connected_components(edges)
+    rows = comps.collect()
+    # one component: all three hosts reachable
+    assert len({r["component"] for r in rows}) == 1
+    assert len(rows) == 3
