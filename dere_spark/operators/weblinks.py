@@ -39,13 +39,19 @@ def resolve_href(src: Column, ref: Column) -> Column:
     """Resolve one href reference against its source page URL.
 
     Returns NULL for references that are not navigable page links
-    (non-http schemes, empty/fragment-only refs)."""
+    (non-http schemes, empty/fragment-only refs) and for references that
+    need a source context a malformed ``src`` cannot provide
+    (``try_parse_url`` — plain ``parse_url`` throws under Spark 4's
+    default ANSI mode, and real crawl HTML guarantees malformed URLs)."""
     ref = _strip_fragment(F.trim(ref))
-    scheme = F.lower(F.parse_url(src, F.lit("PROTOCOL")))
+    scheme = F.lower(F.try_parse_url(src, F.lit("PROTOCOL")))
     # authority incl. any explicit port, taken verbatim from the source
     authority = F.regexp_extract(src, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     origin = F.concat(scheme, F.lit("://"), authority)
-    src_path = F.parse_url(src, F.lit("PATH"))
+    src_path = F.try_parse_url(src, F.lit("PATH"))
+    src_full_path = F.when(
+        src_path.isNull() | (src_path == ""), F.lit("/")
+    ).otherwise(src_path)
     src_dir = F.when(
         src_path.isNull() | ~src_path.contains("/"), F.lit("/")
     ).otherwise(F.regexp_replace(src_path, r"[^/]*$", ""))
@@ -56,6 +62,8 @@ def resolve_href(src: Column, ref: Column) -> Column:
         # any other explicit scheme (javascript:, mailto:, data:, ...) is
         # non-navigational — the colon test must follow the http(s) branch
         .when(ref.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None).cast("string"))
+        # query-only reference: RFC 3986 §5.3 keeps the source's full path
+        .when(ref.startswith("?"), F.concat(origin, src_full_path, ref))
         .when(ref.startswith("/"), F.concat(origin, ref))
         .otherwise(F.concat(origin, src_dir, ref))
     )
@@ -102,8 +110,12 @@ def host_edges(links: DataFrame) -> DataFrame:
     ~3 orders of magnitude smaller than the page graph)."""
     return (
         links.select(
-            F.lower(F.parse_url(F.col("src_url"), F.lit("HOST"))).alias("src_host"),
-            F.lower(F.parse_url(F.col("dst_url"), F.lit("HOST"))).alias("dst_host"),
+            F.lower(F.try_parse_url(F.col("src_url"), F.lit("HOST"))).alias(
+                "src_host"
+            ),
+            F.lower(F.try_parse_url(F.col("dst_url"), F.lit("HOST"))).alias(
+                "dst_host"
+            ),
         )
         .where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
         .where(F.col("src_host") != F.col("dst_host"))

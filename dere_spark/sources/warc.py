@@ -78,14 +78,20 @@ def _parse_warc_date(value: str) -> Optional[datetime]:
 
 
 def _split_http_payload(block: bytes) -> tuple[str, bytes]:
-    """Split an HTTP message block into (status+headers text, body bytes)."""
-    sep = block.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = block.find(b"\n\n")
-        if sep < 0:
-            return "", block
-        return block[:sep].decode("latin-1", "replace"), block[sep + 2 :]
-    return block[:sep].decode("latin-1", "replace"), block[sep + 4 :]
+    """Split an HTTP message block into (status+headers text, body bytes).
+
+    First separator wins — an LF-only header block whose BODY contains a
+    CRLFCRLF must split at the earlier LFLF, same disambiguation as the
+    record framer."""
+    crlf = block.find(b"\r\n\r\n")
+    lf = block.find(b"\n\n")
+    if crlf < 0 and lf < 0:
+        return "", block
+    if crlf >= 0 and (lf < 0 or crlf <= lf):
+        sep, sep_len = crlf, 4
+    else:
+        sep, sep_len = lf, 2
+    return block[:sep].decode("latin-1", "replace"), block[sep + sep_len :]
 
 
 def iter_warc_records(data: bytes) -> Iterator[dict]:
@@ -117,7 +123,12 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            pos = head_end + sep_len  # unframed record: re-sync
+            length = -1
+        if length < 0:  # missing/garbage/negative framing: re-sync forward
+            # (a negative length must not reach the position arithmetic —
+            # bytes.find treats a negative start as end-relative, which
+            # would re-parse the same record forever)
+            pos = head_end + sep_len
             continue
         block_start = head_end + sep_len
         block = data[block_start : block_start + length]
@@ -226,6 +237,27 @@ def html_to_text(html: Column) -> Column:
     return F.trim(text)
 
 
+def _lang_expr(text: Column, markers: dict) -> Column:
+    """Map-side marker language-ID over one text column.
+
+    Same decision rule as ``operators/text.language_id`` (most marker
+    hits wins, lexicographic ascending tie-break, 'und' on zero hits)
+    but expressed as array expressions over a literal marker table —
+    ingest must not JOIN the page table against an aggregate of itself
+    (that would scan + gunzip + parse every archive twice).  The marker
+    table is a handful of constants, so literals are the right carrier.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    scored = []
+    for lang, marks in sorted(markers.items()):
+        mset = F.array(*[F.lit(m) for m in sorted(set(marks))])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(mset, t)))
+        # sort key: (-hits, lang) ascending == hits desc, lang asc
+        scored.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang")))
+    best = F.sort_array(F.array(*scored))[0]
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def web_pages_from_warc(
     spark: SparkSession,
     path: str,
@@ -236,30 +268,18 @@ def web_pages_from_warc(
 
     Output columns, exactly: ``(url, warc_ts, html, text, lang)`` — the
     shape ``sources/documents.load_documents`` normalizes for the engine.
-    ``text`` is ``html_to_text(html)``; ``lang`` is the engine's n-gram
-    marker ``language_id`` over the extracted text ('und' when no marker
-    fires).  HTML-less records (empty body) keep ``text=''``."""
-    from dere_spark.operators.text import language_id, language_markers_df
+    ``text`` is ``html_to_text(html)``; ``lang`` is the marker
+    language-ID over the extracted text ('und' when no marker fires),
+    computed MAP-SIDE so the archive scan runs exactly once — no join,
+    no shuffle, no second pass over 100 TB of gzip."""
+    from dere_spark.operators.text import DEFAULT_MARKERS
 
-    pages = (
+    return (
         load_warc(
             spark, path, record_types=("response",), max_payload_bytes=max_payload_bytes
         )
         .where(F.col("url").isNotNull())
         .select("url", "warc_ts", "html")
         .withColumn("text", html_to_text(F.col("html")))
-    )
-    toks = pages.select(
-        F.col("url").alias("doc_id"),
-        F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
-    langs = language_id(toks, language_markers_df(spark, markers)).select(
-        F.col("doc_id").alias("url"), F.col("pred_lang").alias("lang")
-    )
-    return pages.join(langs, "url", "left").select(
-        "url",
-        "warc_ts",
-        "html",
-        "text",
-        F.coalesce("lang", F.lit("und")).alias("lang"),
+        .withColumn("lang", _lang_expr(F.col("text"), markers or DEFAULT_MARKERS))
     )

@@ -180,3 +180,47 @@ def test_iter_warc_records_resyncs_on_junk(junk):
     data = junk + make_warc()
     recs = list(iter_warc_records(data))
     assert [r["type"] for r in recs] == ["request", "response", "response"]
+
+
+def test_iter_warc_records_negative_content_length_terminates():
+    """A negative Content-Length must re-sync, not loop forever (bytes.find
+    with a negative start is end-relative — the old arithmetic re-parsed
+    the same record unboundedly)."""
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: -1000\r\n"
+        b"\r\n"
+    )
+    recs = list(iter_warc_records(bad + make_warc()))
+    # the malformed record is skipped; the well-framed ones all parse
+    assert [r["type"] for r in recs] == ["request", "response", "response"]
+
+
+def test_split_http_payload_first_separator_wins():
+    """LF-only HTTP headers with a CRLFCRLF inside the BODY must split at
+    the earlier LFLF — nothing of the body may leak into the headers."""
+    from dere_spark.sources.warc import _split_http_payload
+
+    block = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>part1\r\n\r\npart2"
+    head, body = _split_http_payload(block)
+    assert head.startswith("HTTP/1.1 200 OK")
+    assert body == b"<html>part1\r\n\r\npart2"
+
+
+def test_web_pages_plan_is_single_pass(spark, tmp_path):
+    """lang is computed map-side: the ingest plan must contain no join and
+    no exchange — a self-join against an aggregate of the page table would
+    scan + gunzip + parse every archive twice."""
+    (tmp_path / "c.warc").write_bytes(make_warc())
+    plan = (
+        web_pages_from_warc(spark, str(tmp_path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan

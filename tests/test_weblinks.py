@@ -71,3 +71,35 @@ def test_host_edges_feed_connected_components(spark):
     # one component: all three hosts reachable
     assert len({r["component"] for r in rows}) == 1
     assert len(rows) == 3
+
+
+def test_resolve_query_only_reference_keeps_full_path(spark):
+    """RFC 3986 §5.3: a query-only reference keeps the source's full
+    path — pagination links from different pages in one directory must
+    not alias onto the directory node."""
+    pages = spark.createDataFrame(
+        [("https://e.com/a/b/page.html", b'<a href="?page=2">next</a>')],
+        "url string, html binary",
+    )
+    rows = extract_links(pages).collect()
+    assert rows[0]["dst_url"] == "https://e.com/a/b/page.html?page=2"
+
+
+def test_extract_and_host_edges_survive_malformed_urls(spark):
+    """try_parse_url everywhere: a malformed src url or an href resolving
+    to an illegal dst (spaces etc.) must drop the row, not abort the job
+    under Spark 4 default ANSI mode."""
+    pages = spark.createDataFrame(
+        [
+            ("http://ex ample.com/a", b'<a href="/x">bad src</a>'),
+            ("https://ok.com/a", b'<a href="my page.html">spacey</a>'),
+            ("https://ok.com/a", b'<a href="https://fine.com/b">good</a>'),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages)
+    edges = host_edges(links).collect()  # must not raise
+    got = {(r["src_host"], r["dst_host"]) for r in edges}
+    assert ("ok.com", "fine.com") in got
+    # the spacey dst yields a NULL host and is dropped, not fatal
+    assert all(h is not None for pair in got for h in pair)
