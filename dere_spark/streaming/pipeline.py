@@ -221,3 +221,35 @@ def stream_stateful_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_web_pages(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Streaming WARC ingest: new archives landing under ``warc_dir``
+    become page rows continuously — the continuous-crawl front door.
+
+    Returns the STREAMING DataFrame in the BASELINE input-hint shape
+    ``(url, warc_ts, html, text, lang)``; the caller attaches the sink
+    (tests drain with ``trigger(availableNow=True)``; production uses the
+    idempotent ``foreachBatch`` pattern above).  File-source streaming
+    gives exactly-once-per-archive semantics from the checkpoint's
+    processed-file log, and the parse + projection are the SAME
+    ``make_parse_kernel`` / ``page_table`` code the batch reader runs —
+    one ingest path, no batch/stream drift (the stream_extract_triples
+    design, applied to the front door)."""
+    from dere_spark.operators.text import DEFAULT_MARKERS
+    from dere_spark.sources.warc import (
+        WARC_RECORD_SCHEMA,
+        make_parse_kernel,
+        page_table,
+    )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(warc_dir)
+        .select("path", "content")
+    )
+    records = files.mapInPandas(make_parse_kernel(), WARC_RECORD_SCHEMA)
+    return page_table(records, DEFAULT_MARKERS)
