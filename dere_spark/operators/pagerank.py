@@ -20,12 +20,14 @@ Scale + determinism design:
 * ALL arithmetic is DECIMAL(38, 20).  Float sums shuffle-order-drift;
   decimal aggregation is exact and therefore ORDER-FREE, which keeps
   the operator bit-deterministic across parallelism — the repo-wide
-  invariant every other operator holds.  Rounding happens only in the
-  per-edge division (fixed scale, deterministic half-up), identically
-  on every executor.
-* Ranks sum to ~1 with error bounded by N * 1e-20 per iteration from
-  the division rounding — negligible at any corpus size that fits a
-  DECIMAL count.
+  invariant every other operator holds.  Every rounding site is
+  fixed-scale and per-row, identical on every executor.
+* Ranks sum to ~1 with per-node error ~1e-18 per iteration (the
+  per-edge division rounds at scale 20; the damping multiply lands at
+  scale 18 and the final add at scale 19 under Spark's decimal
+  precision adjustment before the cast back to scale 20) — negligible
+  at any corpus size that fits a DECIMAL count, and every rounding
+  site is fixed-scale and per-row, so determinism is unaffected.
 """
 
 from __future__ import annotations
@@ -50,15 +52,22 @@ def pagerank(
     link relation, not a multiplicity weight — pass pre-weighted edges
     through a custom loop if multiplicity should count).  Dangling nodes
     (no outlinks) redistribute their mass uniformly, per the standard
-    formulation."""
-    from decimal import Decimal, getcontext
+    formulation.  Edges with a NULL endpoint are dropped up front: a
+    NULL node cannot receive mass through an equi-join, so keeping such
+    edges would silently leak rank every iteration."""
+    from decimal import Decimal, localcontext
 
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    getcontext().prec = 50  # driver-side scalar math at full headroom
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        # checkpoint: the contrib join re-reads e EVERY iteration — without
+        # this the distinct shuffle and the whole upstream lineage (e.g. a
+        # raw-HTML outlink extraction) would re-execute once per iteration
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -68,7 +77,10 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(None).cast(_DEC))
-    d = Decimal(str(damping))
+    # ONE damping value for both halves of the update: quantized to the
+    # executor literal's scale so the driver-side scalar term and the
+    # distributed link term can never disagree on d
+    d = Decimal(str(damping)).quantize(Decimal("1E-8"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # static per-iteration frame: every node with its outdegree (0 = dangling)
     base = (
@@ -85,12 +97,13 @@ def pagerank(
         "node", dec_lit(Decimal(1) / Decimal(n)).alias("rank"), "out_deg"
     )
     # distributed arithmetic stays within types whose Spark decimal
-    # RESULT type keeps scale 20 (wider operands would trigger Spark's
-    # precision-adjustment and silently collapse the scale):
-    #   (38,20) / (18,0)  -> (38,20)     per-edge division
-    #   (9,8) * (38,20)   -> (38,19)→cast back to (38,20)  damping factor
-    #   sum((38,20))      -> exact, order-free
-    d_col = F.lit(str(d.quantize(Decimal("1E-8")))).cast("decimal(9,8)")
+    # RESULT type keeps (near-)full scale (wider operands would trigger
+    # Spark's precision-adjustment and collapse the scale to 6):
+    #   (38,20) / (18,0) -> (38,20)   per-edge division, rounds at 1e-20
+    #   (9,8) * (38,20)  -> (38,18)   damping multiply, rounds at 1e-18
+    #   + literal        -> (38,19) -> cast (38,20)
+    #   sum((38,20))     -> exact, order-free
+    d_col = F.lit(str(d)).cast("decimal(9,8)")
 
     for _ in range(int(iterations)):
         dangling = (
@@ -108,8 +121,14 @@ def pagerank(
             .agg(F.sum("c").alias("in_mass"))
         )
         # the scalar part — teleport share + redistributed dangling mass —
-        # is exact driver-side Decimal math, shipped as one literal
-        shared = (Decimal(1) - d) / Decimal(n) + d * Decimal(dangling) / Decimal(n)
+        # is exact driver-side Decimal math (local context: must not
+        # mutate the caller thread's global decimal precision), shipped
+        # as one literal
+        with localcontext() as ctx:
+            ctx.prec = 50
+            shared = (
+                (Decimal(1) - d) / Decimal(n) + d * Decimal(dangling) / Decimal(n)
+            )
         ranks = (
             base.join(contrib, base["node"] == contrib["dst"], "left")
             .select(

@@ -223,7 +223,13 @@ def stream_stateful_sessions(
     )
 
 
-def stream_web_pages(spark: SparkSession, warc_dir: str) -> DataFrame:
+def stream_web_pages(
+    spark: SparkSession,
+    warc_dir: str,
+    markers=None,
+    max_payload_bytes: int = 8 * 1024 * 1024,
+    record_types: tuple = ("response",),
+) -> DataFrame:
     """Streaming WARC ingest: new archives landing under ``warc_dir``
     become page rows continuously — the continuous-crawl front door.
 
@@ -235,7 +241,11 @@ def stream_web_pages(spark: SparkSession, warc_dir: str) -> DataFrame:
     processed-file log, and the parse + projection are the SAME
     ``make_parse_kernel`` / ``page_table`` code the batch reader runs —
     one ingest path, no batch/stream drift (the stream_extract_triples
-    design, applied to the front door)."""
+    design, applied to the front door).  The kernel/marker parameters
+    mirror ``web_pages_from_warc`` exactly — a deployment that raises the
+    payload cap or swaps markers for backfill MUST be able to configure
+    the live path identically, or batch and stream would drift in CONFIG
+    even though they share code."""
     from dere_spark.operators.text import DEFAULT_MARKERS
     from dere_spark.sources.warc import (
         WARC_RECORD_SCHEMA,
@@ -251,5 +261,7 @@ def stream_web_pages(spark: SparkSession, warc_dir: str) -> DataFrame:
         .load(warc_dir)
         .select("path", "content")
     )
-    records = files.mapInPandas(make_parse_kernel(), WARC_RECORD_SCHEMA)
-    return page_table(records, DEFAULT_MARKERS)
+    records = files.mapInPandas(
+        make_parse_kernel(record_types, max_payload_bytes), WARC_RECORD_SCHEMA
+    )
+    return page_table(records, markers or DEFAULT_MARKERS)

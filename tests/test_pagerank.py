@@ -113,3 +113,33 @@ def test_pagerank_host_graph_integration(spark):
     ranks = {r["node"]: float(r["rank"]) for r in pagerank(edges).collect()}
     assert ranks["hub.com"] > ranks["x.com"]  # the hub out-ranks the leaves
     assert ranks["x.com"] == ranks["y.com"]  # symmetric leaves tie exactly
+
+
+def test_pagerank_null_edges_dropped_no_mass_leak(spark):
+    """A NULL endpoint cannot receive mass through an equi-join; such
+    edges are dropped up front so ranks still sum to 1."""
+    edges = spark.createDataFrame(
+        [("a", None), ("a", "b"), (None, "b")], "src string, dst string"
+    )
+    got = {r["node"]: float(r["rank"]) for r in pagerank(edges, iterations=10).collect()}
+    assert set(got) == {"a", "b"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_does_not_mutate_global_decimal_context(spark):
+    from decimal import getcontext
+
+    before = getcontext().prec
+    pagerank(_edges(spark, [("a", "b")]), iterations=1).collect()
+    assert getcontext().prec == before
+
+
+def test_pagerank_noninteger_damping_consistent(spark):
+    """Both halves of the update quantize damping identically: with a
+    damping value needing more than 8 decimal digits the ranks must
+    still sum to 1 (an inconsistent pair would leak ~5e-9/iteration)."""
+    got = {
+        r["node"]: float(r["rank"])
+        for r in pagerank(_edges(spark, GRAPH), damping=0.123456789, iterations=20).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
