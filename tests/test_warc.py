@@ -279,3 +279,47 @@ def test_stream_web_pages_incremental(spark, tmp_path):
     }
     stream = {(r["url"], r["text"], r["lang"]) for r in rows}
     assert batch == stream
+
+
+def test_crawl_to_kg_end_to_end(spark, tmp_path):
+    """The full story the round is about: raw WARC archives -> streamed/
+    batch page table -> canonical documents table -> the flagship
+    documents->triples engine. Pages whose text mentions gazetteered
+    operator/object surfaces must yield (subj, pred, obj) triples."""
+    from dere_spark.webtext import extract_triples
+
+    body_a = (
+        b"<html><body><p>the fast join reads the customer table and "
+        b"the spark stream</p></body></html>"
+    )
+    body_b = b"<html><body><p>sort the order table by key value</p></body></html>"
+    warc = _record(
+        "response",
+        "http://kg-a.example/",
+        "2024-05-01T00:00:00Z",
+        _http_response(body_a),
+        "application/http; msgtype=response",
+    ) + _record(
+        "response",
+        "http://kg-b.example/",
+        "2024-05-01T00:00:01Z",
+        _http_response(body_b),
+        "application/http; msgtype=response",
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "kg.warc").write_bytes(warc)
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    web_pages_from_warc(spark, str(crawl)).write.parquet(
+        str(sf_dir / "documents.parquet")
+    )
+
+    triples = extract_triples(spark, str(sf_dir)).collect()
+    assert triples, "gazetteered surfaces must produce triples"
+    by_doc = {}
+    for t in triples:
+        by_doc.setdefault(t["doc_id"], set()).add((t["pred"], t["obj"]))
+    # the ingested url IS the doc identity end-to-end
+    assert set(by_doc) <= {"http://kg-a.example/", "http://kg-b.example/"}
+    assert "http://kg-a.example/" in by_doc
