@@ -2202,6 +2202,266 @@ def _register_vectorize() -> None:
 _register_vectorize()
 
 
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """DuckDB oracle for the ``web_pagerank`` gate: the same damped
+    PageRank as ``operators/pagerank.py`` re-derived INDEPENDENTLY in
+    HUGEINT fixed-point (scale 1e20) with the iterations unrolled as
+    chained CTEs (DuckDB's recursive CTEs allow only one reference to the
+    recursive table; the update needs three — dangling sum, contribution
+    join, base frame).
+
+    Exactness contract (why string-compare at full scale is safe): every
+    Spark-side rounding site is fixed-scale HALF_UP on positive values,
+    so each maps to one integer expression ``(2*num + den) // (2*den)``:
+
+      * per-edge contribution  (38,20)/(18,0) -> (38,20): rhu(rank, deg)
+      * damping multiply      (9,8)*(38,20) -> (38,18): rhu(d*mass, 1e10)
+      * scalar + link-term add  (38,20)+(38,20) -> (38,19), cast (38,20):
+        rhu(shared + damp*100, 10) * 10
+      * teleport + dangling scalar (driver-side Decimal, quantize 1e-20):
+        rhu((1e8-d)*1e20 + d*dangling, 1e8*n)
+      * initial 1/n (Decimal prec-28 then quantize 1e-20): rhu(1e20, n) —
+        equal because no n <= 64 puts an exact tie at the 20th digit
+
+    Verified bit-identical against the live Spark plan (60 nodes, 135
+    edges, dangling mass on the 7-multiples) before this landed."""
+    s20 = "CAST('100000000000000000000' AS HUGEINT)"
+    head = f"""
+WITH params AS (
+  SELECT {s20} AS s20, CAST(85000000 AS HUGEINT) AS d8,
+         CAST(10000000000 AS HUGEINT) AS s10, CAST(100000000 AS HUGEINT) AS s8
+),
+grp AS (SELECT DISTINCT doc_id % 64 AS s FROM documents),
+edges AS (
+  SELECT s AS src, (s*s + 11*k + 5) % 64 AS dst
+  FROM grp, (VALUES (0),(1),(2),(3)) t(k)
+  WHERE s % 7 <> 0 AND k <= s % 4
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nodes),
+deg AS (
+  SELECT nodes.node, COALESCE(d.c, CAST(0 AS HUGEINT)) AS out_deg
+  FROM nodes LEFT JOIN (SELECT src, CAST(COUNT(*) AS HUGEINT) AS c
+                        FROM edges GROUP BY src) d ON nodes.node = d.src
+),
+r0 AS (
+  SELECT deg.node, deg.out_deg,
+         (2*params.s20 + nn.n) // (2*nn.n) AS rank
+  FROM deg, nn, params
+)"""
+    blocks = []
+    for i in range(1, int(iterations) + 1):
+        p = i - 1
+        blocks.append(f""",
+dang{i} AS (SELECT COALESCE(SUM(rank), CAST(0 AS HUGEINT)) AS m
+            FROM r{p} WHERE out_deg = 0),
+contrib{i} AS (
+  SELECT e.dst AS node, SUM((2*r.rank + r.out_deg) // (2*r.out_deg)) AS in_mass
+  FROM edges e JOIN r{p} r ON e.src = r.node GROUP BY e.dst
+),
+shared{i} AS (
+  SELECT (2*((params.s8 - params.d8)*params.s20 + params.d8*dang{i}.m)
+          + params.s8*nn.n) // (2*params.s8*nn.n) AS v
+  FROM params, nn, dang{i}
+),
+r{i} AS (
+  SELECT deg.node, deg.out_deg,
+         ((2*(shared{i}.v
+              + ((2*params.d8*COALESCE(c.in_mass, CAST(0 AS HUGEINT)) + params.s10)
+                 // (2*params.s10)) * 100)
+           + 10) // 20) * 10 AS rank
+  FROM deg LEFT JOIN contrib{i} c ON deg.node = c.node, params, shared{i}
+)""")
+    tail = f"""
+SELECT r{iterations}.node,
+       CAST(r{iterations}.rank // params.s20 AS VARCHAR) || '.' ||
+       lpad(CAST(r{iterations}.rank % params.s20 AS VARCHAR), 20, '0') AS rank
+FROM r{iterations}, params
+"""
+    return head + "".join(blocks) + tail
+
+
+def _register_web_graph() -> None:
+    """Driver gates for the r6 web-ingestion family (weburl / weblinks /
+    pagerank). ``sf_dir`` ships no WARC archives and DuckDB reads none of
+    the web formats, so each gate synthesizes the input-hint page shape
+    (url, capture ordinal, html) DETERMINISTICALLY from doc_id arithmetic —
+    identical integer/string expressions on both engines — and the oracle
+    re-derives the OPERATOR's expected output independently (template-level
+    expectations in plain SQL, never a re-run of the same regex/expression
+    chain). This upgrades the family from tested-only to driver-oracle-
+    checked; the WARC parser itself stays covered by its 16 unit tests
+    (multi-member gzip, truncation, streaming parity)."""
+    from dere_spark.operators.pagerank import pagerank
+    from dere_spark.operators.weblinks import extract_links, host_edges
+    from dere_spark.operators.weburl import latest_snapshot
+
+    def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """(url, html:binary) page table from doc_id arithmetic: one page
+        per document with root-relative / absolute / path-relative anchors
+        always present, protocol-relative + mailto on even ids, query-only
+        + fragment-only on multiples of 3 — every resolve_href branch."""
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        i = F.col("doc_id").cast("string")
+        g = (F.col("doc_id") % 50).cast("string")
+        h = (F.col("doc_id") % 20).cast("string")
+        src = F.concat(
+            F.lit("http://h"), h, F.lit(".example.com/dir/page"), i, F.lit(".html")
+        )
+        html = F.concat(
+            F.lit('<a href="/r/x'), g, F.lit('.html"><em>Root</em> Link</a>'),
+            F.lit("<A HREF='https://ext"), g, F.lit(".org/p?q=2'>Abs</A>"),
+            F.lit('<a href="sub/p'), i, F.lit('.html">Rel</a>'),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit('<a href="//cdn'), g,
+                    F.lit('.example.org/lib.js">CDN</a><a href="mailto:a@b.c">Mail</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit('<a href="?page=2">Next</a><a href="#top">Top</a>'),
+            ).otherwise(F.lit("")),
+        )
+        return d.select(src.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+    @register(
+        "web_latest_snapshot",
+        """
+        WITH p AS (
+          SELECT doc_id % 50 AS g, (doc_id // 50) % 5 AS v,
+                 1600000000 + doc_id * 37 AS warc_ts
+          FROM documents
+        ), pages AS (
+          SELECT CASE v
+                   WHEN 0 THEN 'http://site' || g || '.example.com/a/b?x=1'
+                   WHEN 1 THEN 'HTTP://SITE' || g || '.Example.COM:80/a/b?x=1#frag'
+                   WHEN 2 THEN 'http://user:pw@site' || g || '.example.com:80/a/b?x=1'
+                   WHEN 3 THEN 'https://site' || g || '.example.com:443'
+                   ELSE 'not a url ' || g
+                 END AS url,
+                 CASE WHEN v IN (0, 1, 2)
+                        THEN 'http://site' || g || '.example.com/a/b?x=1'
+                      WHEN v = 3 THEN 'https://site' || g || '.example.com/'
+                      ELSE 'not a url ' || g
+                 END AS canonical_url,
+                 warc_ts
+          FROM p
+        )
+        SELECT url, warc_ts, canonical_url
+        FROM (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                                           ORDER BY warc_ts DESC, url ASC) AS rk
+              FROM pages)
+        WHERE rk = 1
+        """,
+    )
+    def q_web_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Re-crawl dedup (weburl.py): five URL variants per site group —
+        clean, uppercase+default-port+fragment, userinfo+default-port,
+        empty-path+:443, and malformed — so cross-FORM collisions hit the
+        same canonical key and the malformed rows exercise the raw-url
+        fallback (two identical malformed captures dedup to the newest).
+        ``warc_ts`` is a bigint capture ordinal: the operator only needs an
+        orderable capture key; real timestamps are covered by the WARC
+        tests. The oracle re-states the expected canonical per template."""
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        g = (F.col("doc_id") % 50).cast("string")
+        v = F.expr("doc_id DIV 50") % 5
+        url = (
+            F.when(v == 0, F.concat(F.lit("http://site"), g, F.lit(".example.com/a/b?x=1")))
+            .when(v == 1, F.concat(F.lit("HTTP://SITE"), g, F.lit(".Example.COM:80/a/b?x=1#frag")))
+            .when(v == 2, F.concat(F.lit("http://user:pw@site"), g, F.lit(".example.com:80/a/b?x=1")))
+            .when(v == 3, F.concat(F.lit("https://site"), g, F.lit(".example.com:443")))
+            .otherwise(F.concat(F.lit("not a url "), g))
+        )
+        pages = d.select(
+            url.alias("url"),
+            (F.lit(1600000000) + F.col("doc_id") * 37).alias("warc_ts"),
+        )
+        return latest_snapshot(pages).select("url", "warc_ts", "canonical_url")
+
+    @register(
+        "web_resolve_links",
+        """
+        WITH d AS (
+          SELECT 'http://h' || (doc_id % 20) || '.example.com/dir/page'
+                   || doc_id || '.html' AS src_url,
+                 'http://h' || (doc_id % 20) || '.example.com' AS origin,
+                 doc_id % 50 AS g, doc_id AS i
+          FROM documents
+        )
+        SELECT src_url, origin || '/r/x' || g || '.html' AS dst_url,
+               'Root Link' AS anchor FROM d
+        UNION ALL
+        SELECT src_url, 'https://ext' || g || '.org/p?q=2', 'Abs' FROM d
+        UNION ALL
+        SELECT src_url, origin || '/dir/sub/p' || i || '.html', 'Rel' FROM d
+        UNION ALL
+        SELECT src_url, 'http://cdn' || g || '.example.org/lib.js', 'CDN'
+        FROM d WHERE i % 2 = 0
+        UNION ALL
+        SELECT src_url, src_url || '?page=2', 'Next' FROM d WHERE i % 3 = 0
+        """,
+    )
+    def q_web_resolve_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Outlink extraction + RFC 3986 resolution (weblinks.py) over the
+        synthetic page table. The oracle states the expected resolved edge
+        per anchor template (mailto: and fragment-only anchors appear in the
+        html and must be ABSENT from both sides); nested-tag stripping and
+        whitespace collapse are pinned by the 'Root Link' anchor."""
+        return extract_links(_synth_pages(spark, sf_dir))
+
+    @register(
+        "web_host_graph",
+        """
+        WITH d AS (SELECT doc_id % 20 AS h, doc_id % 50 AS g, doc_id AS i
+                   FROM documents)
+        SELECT DISTINCT 'h' || h || '.example.com' AS src_host,
+               'ext' || g || '.org' AS dst_host FROM d
+        UNION
+        SELECT DISTINCT 'h' || h || '.example.com',
+               'cdn' || g || '.example.org' FROM d WHERE i % 2 = 0
+        """,
+    )
+    def q_web_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Host-graph collapse (weblinks.host_edges): same-host edges
+        (root-relative, path-relative, query-only links) must vanish as
+        self-loops; only the ext/cdn cross-host edges survive, distinct."""
+        return host_edges(extract_links(_synth_pages(spark, sf_dir)))
+
+    @register("web_pagerank", _pagerank_oracle_sql(iterations=5))
+    def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Decimal-exact PageRank (pagerank.py) on a deterministic irregular
+        graph over doc_id % 64: out-degrees 1-4 via the quadratic map
+        (s*s + 11k + 5) % 64, multiples of 7 emit no edges (dangling-mass
+        redistribution exercised). Rank is compared as the FULL scale-20
+        decimal string — the oracle is an independent HUGEINT fixed-point
+        re-derivation, so this pins bit-exactness, not approximate
+        convergence."""
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select((F.col("doc_id") % 64).alias("s"))
+            .distinct()
+        )
+        edges = (
+            docs.where(F.col("s") % 7 != 0)
+            .select(
+                "s",
+                F.explode(F.sequence(F.lit(0).cast("long"), F.col("s") % 4)).alias("k"),
+            )
+            .select(
+                F.col("s").alias("src"),
+                ((F.col("s") * F.col("s") + 11 * F.col("k") + 5) % 64).alias("dst"),
+            )
+        )
+        pr = pagerank(edges, damping=0.85, iterations=5)
+        return pr.select("node", F.col("rank").cast("string").alias("rank"))
+
+
+_register_web_graph()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2212,7 +2472,9 @@ _register_vectorize()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round.
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 4
+# r05-green keepers parked mid-round to fit the 4 new web-graph gates
+# (62 registered - 50 slots = 12 parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2230,6 +2492,17 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
+    # r6 mid-round extension: registering the 4 web-graph gates
+    # (web_latest_snapshot / web_resolve_links / web_host_graph /
+    # web_pagerank) grew the registry to 62, so the 50-slot window must
+    # park 12 per round, not 8. These 4 keepers are r05-green and their
+    # operator families keep other in-window gates (treebank_fidelity +
+    # treebank_punct_tokens; text_quality_scores; 8 other dedup gates;
+    # text_token_stats/language_id). Round 7's lead is this FULL 12-tuple.
+    "treebank_punct_delta",
+    "text_quality",
+    "dedup_simhash",
+    "text_fingerprint",
 )
 
 _WINDOW_LEAD = (
