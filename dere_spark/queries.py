@@ -2430,6 +2430,44 @@ def _register_web_graph() -> None:
         self-loops; only the ext/cdn cross-host edges survive, distinct."""
         return host_edges(extract_links(_synth_pages(spark, sf_dir)))
 
+    @register(
+        "web_main_text",
+        """
+        SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+        FROM documents
+        """,
+    )
+    def q_web_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Boilerplate removal (operators/boilerplate.py) over REAL corpus
+        text: each document's text is wrapped in full page chrome — head/
+        title/style, a nav of links, a long link-farm div (>= 25 visible
+        chars, ~95% anchor text, so it is genuinely DENSITY-dropped, not
+        length-dropped), and a footer. The extractor must return exactly
+        the whitespace-collapsed document text: every piece of injected
+        chrome dropped, every piece of real content kept."""
+        from dere_spark.operators.boilerplate import extract_main_text
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        html = F.concat(
+            F.lit(
+                "<html><head><title>Site Title</title><style>p{color:red}"
+                '</style></head><body><nav><a href="/">Home</a> '
+                '<a href="/about">About us page</a></nav><article><p>'
+            ),
+            F.col("text"),
+            F.lit(
+                '</p></article><div><a href="/p">Products and Services</a> '
+                '<a href="/s">Customer Support Portal</a> '
+                '<a href="/d">Documentation Archive</a> hub</div>'
+                "<footer>(c) 2024 Example Site - all rights reserved"
+                "</footer></body></html>"
+            ),
+        )
+        return d.select(
+            "doc_id",
+            extract_main_text(F.encode(html, "UTF-8")).alias("main_text"),
+        )
+
     @register("web_pagerank", _pagerank_oracle_sql(iterations=5))
     def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Decimal-exact PageRank (pagerank.py) on a deterministic irregular
@@ -2472,9 +2510,9 @@ _register_web_graph()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 4
-# r05-green keepers parked mid-round to fit the 4 new web-graph gates
-# (62 registered - 50 slots = 12 parked per round from r6 on).
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 5
+# r05-green keepers parked mid-round to fit the 5 new web gates
+# (63 registered - 50 slots = 13 parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2492,17 +2530,19 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
-    # r6 mid-round extension: registering the 4 web-graph gates
+    # r6 mid-round extension: registering the 5 web gates
     # (web_latest_snapshot / web_resolve_links / web_host_graph /
-    # web_pagerank) grew the registry to 62, so the 50-slot window must
-    # park 12 per round, not 8. These 4 keepers are r05-green and their
-    # operator families keep other in-window gates (treebank_fidelity +
-    # treebank_punct_tokens; text_quality_scores; 8 other dedup gates;
-    # text_token_stats/language_id). Round 7's lead is this FULL 12-tuple.
+    # web_main_text / web_pagerank) grew the registry to 63, so the
+    # 50-slot window must park 13 per round, not 8. These 5 keepers are
+    # r05-green and their operator families keep other in-window gates
+    # (treebank_fidelity + treebank_punct_tokens; text_quality_scores;
+    # 8 other dedup gates incl. dedup_clusters; text_token_stats /
+    # language_id). Round 7's lead is this FULL 13-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
     "text_fingerprint",
+    "dedup_clusters_star",
 )
 
 _WINDOW_LEAD = (

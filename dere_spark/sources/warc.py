@@ -243,6 +243,15 @@ _ENTITIES = (
 )
 
 
+def decode_entities(text: Column) -> Column:
+    """Decode the common named html entities (shared by ``html_to_text``
+    and the boilerplate block scorer; ``&amp;`` is applied last so
+    ``&amp;lt;`` decodes to ``&lt;``, not ``<``)."""
+    for ent, repl in _ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(repl))
+    return text
+
+
 def html_to_text(html: Column) -> Column:
     """Baseline html -> text extraction as a Catalyst expression chain.
 
@@ -254,8 +263,7 @@ def html_to_text(html: Column) -> Column:
     text = F.regexp_replace(text, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
     text = F.regexp_replace(text, r"(?s)<!--.*?-->", " ")
     text = F.regexp_replace(text, r"(?s)<[^>]*>", " ")
-    for ent, repl in _ENTITIES:
-        text = F.replace(text, F.lit(ent), F.lit(repl))
+    text = decode_entities(text)
     text = F.regexp_replace(text, r"\s+", " ")
     return F.trim(text)
 
