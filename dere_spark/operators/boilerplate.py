@@ -84,6 +84,10 @@ def extract_main_text(
             f"max_link_density must be in [0,1], got {max_link_density}"
         )
     raw = html.cast("string")
+    # crawl payloads routinely carry stray NUL bytes; neutralize them
+    # FIRST so the block sentinel below is guaranteed absent (an embedded
+    # NUL must not split a content block mid-text and length-drop it)
+    raw = F.replace(raw, F.lit("\x00"), F.lit(" "))
     raw = F.regexp_replace(raw, r"(?s)<!--.*?-->", " ")
     raw = F.regexp_replace(raw, _SUBTREE_RE, " ")
     blocks = F.split(F.regexp_replace(raw, _BLOCK_RE, "\x00"), "\x00")

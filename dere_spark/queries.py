@@ -2223,15 +2223,25 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
       * initial 1/n (Decimal prec-28 then quantize 1e-20): rhu(1e20, n) —
         equal because no n <= 64 puts an exact tie at the 20th digit
 
-    Verified bit-identical against the live Spark plan (60 nodes, 135
-    edges, dangling mass on the 7-multiples) before this landed."""
+    Tie caveat: the two DRIVER-side sites (initial rank, shared scalar)
+    quantize via Python Decimal, whose context default is HALF_EVEN —
+    the HALF_UP integer mapping above differs from it exactly on an
+    exact .5 tie at the 20th digit. The initial rank is tie-free for
+    any n <= 64 by the divisibility argument above; the shared scalar
+    has no closed-form guarantee, so the gate FIXES the input graph
+    (``web_pagerank`` builds it from range(64), never from corpus
+    data) and this exact 5-iteration trajectory was verified
+    bit-identical against the live Spark plan (60 nodes, 135 edges,
+    dangling mass on the 7-multiples) before this landed. Changing the
+    graph, damping, or iteration count requires re-running that
+    verification."""
     s20 = "CAST('100000000000000000000' AS HUGEINT)"
     head = f"""
 WITH params AS (
   SELECT {s20} AS s20, CAST(85000000 AS HUGEINT) AS d8,
          CAST(10000000000 AS HUGEINT) AS s10, CAST(100000000 AS HUGEINT) AS s8
 ),
-grp AS (SELECT DISTINCT doc_id % 64 AS s FROM documents),
+grp AS (SELECT s FROM range(0, 64) t(s)),
 edges AS (
   SELECT s AS src, (s*s + 11*k + 5) % 64 AS dst
   FROM grp, (VALUES (0),(1),(2),(3)) t(k)
@@ -2433,8 +2443,15 @@ def _register_web_graph() -> None:
     @register(
         "web_main_text",
         """
-        SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
-        FROM documents
+        WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                        regexp_replace(text, '[<>&\\x00]', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS c
+          FROM documents
+        )
+        SELECT doc_id, CASE WHEN length(c) >= 25 THEN c ELSE '' END AS main_text
+        FROM t
         """,
     )
     def q_web_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2444,17 +2461,26 @@ def _register_web_graph() -> None:
         chars, ~95% anchor text, so it is genuinely DENSITY-dropped, not
         length-dropped), and a footer. The extractor must return exactly
         the whitespace-collapsed document text: every piece of injected
-        chrome dropped, every piece of real content kept."""
+        chrome dropped, every piece of real content kept.
+
+        Self-contained against corpus refreshes: the embedded text is
+        sanitized of ``[<>&\\x00]`` on BOTH engines (those characters
+        would otherwise change meaning inside html — entity decode, tag
+        strip, block sentinel), and the oracle models the 25-char
+        visible-length floor explicitly, so a future documents table with
+        short or markup-bearing rows stays in parity instead of failing
+        the gate on an unasserted precondition."""
         from dere_spark.operators.boilerplate import extract_main_text
 
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        safe_text = F.regexp_replace(F.col("text"), r"[<>&\x00]", " ")
         html = F.concat(
             F.lit(
                 "<html><head><title>Site Title</title><style>p{color:red}"
                 '</style></head><body><nav><a href="/">Home</a> '
                 '<a href="/about">About us page</a></nav><article><p>'
             ),
-            F.col("text"),
+            safe_text,
             F.lit(
                 '</p></article><div><a href="/p">Products and Services</a> '
                 '<a href="/s">Customer Support Portal</a> '
@@ -2471,17 +2497,20 @@ def _register_web_graph() -> None:
     @register("web_pagerank", _pagerank_oracle_sql(iterations=5))
     def q_web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Decimal-exact PageRank (pagerank.py) on a deterministic irregular
-        graph over doc_id % 64: out-degrees 1-4 via the quadratic map
-        (s*s + 11k + 5) % 64, multiples of 7 emit no edges (dangling-mass
-        redistribution exercised). Rank is compared as the FULL scale-20
-        decimal string — the oracle is an independent HUGEINT fixed-point
-        re-derivation, so this pins bit-exactness, not approximate
-        convergence."""
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select((F.col("doc_id") % 64).alias("s"))
-            .distinct()
-        )
+        graph over the FIXED residue universe 0..63 (``spark.range`` /
+        DuckDB ``range`` — deliberately NOT derived from the documents
+        table, so the gate always evaluates the one pre-verified graph):
+        out-degrees 1-4 via the quadratic map (s*s + 11k + 5) % 64,
+        multiples of 7 emit no edges (dangling-mass redistribution
+        exercised; 60 nodes, 135 edges). Rank is compared as the FULL
+        scale-20 decimal string — the oracle is an independent HUGEINT
+        fixed-point re-derivation, so this pins bit-exactness, not
+        approximate convergence. Fixing the universe matters for the
+        tie caveat in ``_pagerank_oracle_sql``: the HALF_UP integer
+        mapping of Python Decimal's HALF_EVEN quantize is exact only
+        when no rounding site lands on an exact .5 tie, which is
+        verified for THIS graph's 5-iteration trajectory."""
+        docs = spark.range(0, 64).select(F.col("id").alias("s"))
         edges = (
             docs.where(F.col("s") % 7 != 0)
             .select(

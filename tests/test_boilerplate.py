@@ -105,6 +105,18 @@ def test_map_side_only_no_exchange(spark):
     assert "Exchange" not in plan  # extraction is map-side only
 
 
+def test_embedded_nul_does_not_split_blocks(spark):
+    # crawl payloads carry stray NUL bytes; a NUL inside a content block
+    # must not collide with the block sentinel and split/length-drop it
+    # split point 41 sits inside the word "dog" so the space the NUL
+    # becomes is not adjacent to another space (no collapse ambiguity)
+    html = "<p>" + BODY[:41] + "\x00" + BODY[41:] + "</p>"
+    out = _extract(spark, html)
+    assert out == BODY[:41] + " " + BODY[41:]
+    # and a NUL-riddled short fragment still behaves (nothing survives)
+    assert _extract(spark, "<p>a\x00b</p>") == ""
+
+
 def test_parameter_validation():
     with pytest.raises(ValueError):
         extract_main_text(F.lit("x"), min_block_chars=0)
