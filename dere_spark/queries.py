@@ -2529,6 +2529,45 @@ def _register_web_graph() -> None:
 _register_web_graph()
 
 
+def _register_ngram_lm() -> None:
+    @register(
+        "text_bigram_counts",
+        """
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), pad AS (
+          SELECT list_prepend('<s>', list_append(t, '</s>')) AS a FROM toks
+        ), prs AS (
+          SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                                       i -> a[i] || chr(1) || a[i + 1])) AS pair
+          FROM pad
+        )
+        SELECT split_part(pair, chr(1), 1) AS w1,
+               split_part(pair, chr(1), 2) AS w2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM prs GROUP BY 1, 2
+        """,
+    )
+    def q_text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bigram LM fit (operators/ngram_lm.py) over the real corpus: the
+        exact (w1, w2, count) table incl. BOS/EOS sentinels — the count
+        side of the CCNet-style perplexity filter. The oracle re-derives
+        the pair stream with DuckDB list primitives (a chr(1) pair
+        encoding — tokens are [a-z0-9]+ so the separator cannot collide);
+        the perplexity itself (logs) is reference-parity unit-tested
+        rather than oracled, per the float-aggregation rule."""
+        from dere_spark.operators.ngram_lm import fit_bigram_lm
+
+        docs = load_documents(spark, sf_dir, columns=["text"])
+        bigrams, _unigrams, _v = fit_bigram_lm(docs)
+        return bigrams
+
+
+_register_ngram_lm()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2539,9 +2578,10 @@ _register_web_graph()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 5
-# r05-green keepers parked mid-round to fit the 5 new web gates
-# (63 registered - 50 slots = 13 parked per round from r6 on).
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 6
+# r05-green keepers parked mid-round to fit the 6 new gates (5 web +
+# text_bigram_counts; 64 registered - 50 slots = 14 parked per round
+# from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2561,17 +2601,18 @@ ROTATED_OUT: tuple = (
     "events_json_extract",
     # r6 mid-round extension: registering the 5 web gates
     # (web_latest_snapshot / web_resolve_links / web_host_graph /
-    # web_main_text / web_pagerank) grew the registry to 63, so the
-    # 50-slot window must park 13 per round, not 8. These 5 keepers are
-    # r05-green and their operator families keep other in-window gates
-    # (treebank_fidelity + treebank_punct_tokens; text_quality_scores;
-    # 8 other dedup gates incl. dedup_clusters; text_token_stats /
-    # language_id). Round 7's lead is this FULL 13-tuple.
+    # web_main_text / web_pagerank) plus text_bigram_counts grew the
+    # registry to 64, so the 50-slot window must park 14 per round, not
+    # 8. These 6 keepers are r05-green and their operator families keep
+    # other in-window gates (treebank_fidelity + treebank_punct_tokens;
+    # text_quality_scores + text_language_id; 8 other dedup gates incl.
+    # dedup_clusters). Round 7's lead is this FULL 14-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
     "text_fingerprint",
     "dedup_clusters_star",
+    "text_token_stats",
 )
 
 _WINDOW_LEAD = (
