@@ -2568,6 +2568,47 @@ def _register_ngram_lm() -> None:
 _register_ngram_lm()
 
 
+def _register_decontaminate() -> None:
+    @register(
+        "decontam_hits",
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 4),
+                                       i -> array_to_string(t[i:i+4], ' '))) AS gram
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM grams g JOIN bench USING (gram)
+        GROUP BY g.doc_id
+        """,
+    )
+    def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark decontamination (operators/decontaminate.py): the
+        deterministic benchmark is the doc_id % 97 == 0 subset of the
+        corpus itself; every document sharing a word-level 5-gram with it
+        is flagged with its distinct-shared-gram count. Benchmark members
+        flag themselves (verbatim inclusion) and at sf0.01 the corpus
+        also carries one genuine cross-document hit, so both hit paths
+        are exercised. The oracle re-derives the gram stream with DuckDB
+        list primitives."""
+        from dere_spark.operators.decontaminate import contamination_hits
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return contamination_hits(docs, bench, n=5)
+
+
+_register_decontaminate()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2578,10 +2619,10 @@ _register_ngram_lm()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 6
-# r05-green keepers parked mid-round to fit the 6 new gates (5 web +
-# text_bigram_counts; 64 registered - 50 slots = 14 parked per round
-# from r6 on).
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 7
+# r05-green keepers parked mid-round to fit the 7 new gates (5 web +
+# text_bigram_counts + decontam_hits; 65 registered - 50 slots = 15
+# parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2601,18 +2642,20 @@ ROTATED_OUT: tuple = (
     "events_json_extract",
     # r6 mid-round extension: registering the 5 web gates
     # (web_latest_snapshot / web_resolve_links / web_host_graph /
-    # web_main_text / web_pagerank) plus text_bigram_counts grew the
-    # registry to 64, so the 50-slot window must park 14 per round, not
-    # 8. These 6 keepers are r05-green and their operator families keep
-    # other in-window gates (treebank_fidelity + treebank_punct_tokens;
-    # text_quality_scores + text_language_id; 8 other dedup gates incl.
-    # dedup_clusters). Round 7's lead is this FULL 14-tuple.
+    # web_main_text / web_pagerank) plus text_bigram_counts and
+    # decontam_hits grew the registry to 65, so the 50-slot window must
+    # park 15 per round, not 8. These 7 keepers are r05-green and their
+    # operator families keep other in-window gates (treebank_fidelity +
+    # treebank_punct_tokens; text_quality_scores + text_language_id;
+    # 8 other dedup gates incl. dedup_clusters; events_cube_counts for
+    # rollup/cube). Round 7's lead is this FULL 15-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
     "text_fingerprint",
     "dedup_clusters_star",
     "text_token_stats",
+    "kg_pred_rollup",
 )
 
 _WINDOW_LEAD = (
