@@ -2609,6 +2609,73 @@ def _register_decontaminate() -> None:
 _register_decontaminate()
 
 
+def _register_pii() -> None:
+    @register(
+        "text_pii_stats",
+        """
+        SELECT doc_id,
+               'see notes'
+                 || CASE WHEN doc_id % 3 = 0 THEN ' contact <EMAIL>' ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0 THEN ' host <IP> up' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call <PHONE>' ELSE '' END
+                 AS scrubbed,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_emails,
+               CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_ips,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_phones
+        FROM documents
+        """,
+    )
+    def q_text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrubbing (operators/pii.py) over deterministically
+        synthesized identifiers: docs get an email (doc_id%3), an IPv4
+        with doc_id-derived in-range octets (doc_id%4), and a US-grouped
+        phone (doc_id%5). The oracle states the expected MASKED string
+        and counts arithmetically — it never runs the regexes, so the
+        gate pins the patterns' behavior, not a shared dialect."""
+        from dere_spark.operators.pii import pii_counts, redact_pii
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        text = F.concat(
+            F.lit("see notes"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    (F.col("doc_id") % 50).cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".7 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call (555) 201-"),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        c = pii_counts(text)
+        return d.select(
+            "doc_id",
+            redact_pii(text).alias("scrubbed"),
+            c["n_emails"].alias("n_emails"),
+            c["n_ips"].alias("n_ips"),
+            c["n_phones"].alias("n_phones"),
+        )
+
+
+_register_pii()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2619,10 +2686,10 @@ _register_decontaminate()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 7
-# r05-green keepers parked mid-round to fit the 7 new gates (5 web +
-# text_bigram_counts + decontam_hits; 65 registered - 50 slots = 15
-# parked per round from r6 on).
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 8
+# r05-green keepers parked mid-round to fit the 8 new gates (5 web +
+# text_bigram_counts + decontam_hits + text_pii_stats; 66 registered -
+# 50 slots = 16 parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2640,15 +2707,14 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
-    # r6 mid-round extension: registering the 5 web gates
-    # (web_latest_snapshot / web_resolve_links / web_host_graph /
-    # web_main_text / web_pagerank) plus text_bigram_counts and
-    # decontam_hits grew the registry to 65, so the 50-slot window must
-    # park 15 per round, not 8. These 7 keepers are r05-green and their
-    # operator families keep other in-window gates (treebank_fidelity +
-    # treebank_punct_tokens; text_quality_scores + text_language_id;
-    # 8 other dedup gates incl. dedup_clusters; events_cube_counts for
-    # rollup/cube). Round 7's lead is this FULL 15-tuple.
+    # r6 mid-round extension: registering the 8 new gates (5 web +
+    # text_bigram_counts + decontam_hits + text_pii_stats) grew the
+    # registry to 66, so the 50-slot window must park 16 per round, not
+    # 8. These 8 keepers are r05-green and their operator families keep
+    # other in-window gates (treebank_fidelity + treebank_punct_tokens;
+    # text_quality_scores + text_language_id; 8 other dedup gates incl.
+    # dedup_clusters; events_cube_counts for rollup/cube; the kg CTE
+    # family keeps 8+ gates). Round 7's lead is this FULL 16-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
@@ -2656,6 +2722,7 @@ ROTATED_OUT: tuple = (
     "dedup_clusters_star",
     "text_token_stats",
     "kg_pred_rollup",
+    "kg_between_tokens",
 )
 
 _WINDOW_LEAD = (

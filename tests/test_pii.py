@@ -1,0 +1,64 @@
+"""PII scrubbing (operators/pii.py): masking, counts, idempotence,
+precision on look-alikes, invariant that `text` is never mutated."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dere_spark.operators.pii import pii_counts, redact_pii, scrub_documents
+
+
+def _scrub_one(spark, s: str):
+    df = spark.createDataFrame([(s,)], "text string")
+    return df.select(
+        redact_pii(F.col("text")).alias("r"), pii_counts(F.col("text")).alias("c")
+    ).first()
+
+
+def test_masks_all_three_kinds(spark):
+    r = _scrub_one(
+        spark,
+        "mail jane.doe+spam@sub.example.co.uk or call (555) 123-4567, "
+        "server at 192.168.0.254 answers",
+    )
+    assert r.r == (
+        "mail <EMAIL> or call <PHONE>, server at <IP> answers"
+    )
+    assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (1, 1, 1)
+
+
+def test_idempotent(spark):
+    once = _scrub_one(spark, "a@b.com at 10.0.0.1 +44 555-123-9999").r
+    df = spark.createDataFrame([(once,)], "text string")
+    again = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert once == again
+    assert once == "<EMAIL> at <IP> <PHONE>"
+
+
+def test_conservative_on_lookalikes(spark):
+    # version strings, decimals, years, @handles without TLD, out-of-range
+    # octets must all survive untouched
+    s = "v1.2.3.4000 of pkg@local costs 3.14 in 2024; build 300.1.1.1 ok"
+    r = _scrub_one(spark, s)
+    assert r.r == s
+    assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (0, 0, 0)
+
+
+def test_scrub_documents_keeps_text_byte_identical(spark):
+    docs = spark.createDataFrame(
+        [("d1", "write to a@b.org now"), ("d2", "clean")],
+        "doc_id string, text string",
+    )
+    out = scrub_documents(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].text == "write to a@b.org now"  # untouched
+    assert rows["d1"].scrubbed == "write to <EMAIL> now"
+    assert rows["d1"].n_emails == 1
+    assert rows["d2"].scrubbed == "clean"
+    assert (rows["d2"].n_emails, rows["d2"].n_ips, rows["d2"].n_phones) == (0, 0, 0)
+
+
+def test_map_side_only_no_exchange(spark):
+    docs = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = scrub_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
