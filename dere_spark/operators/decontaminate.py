@@ -68,8 +68,13 @@ def contamination_hits(
     candidate, hundreds is a verbatim inclusion). The benchmark gram set
     is deduped and broadcast."""
     doc_grams = ngram_set(docs, n=n, text_col=text_col)
+    # benchmark side: doc_id is irrelevant, so skip ngram_set's per-doc
+    # distinct (its exchange would be pure waste) — explode and dedupe
+    # the gram column directly, one exchange total
     bench_grams = (
-        ngram_set(benchmark, n=n, text_col=text_col).select("gram").distinct()
+        benchmark.select(
+            F.explode(_gram_array(F.col(text_col), n)).alias("gram")
+        ).distinct()
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "gram")

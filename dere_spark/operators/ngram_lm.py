@@ -11,10 +11,11 @@ is what matters, the LM order is a parameter of the same plan).
 
 Spark-first shape:
 
-* FIT is two aggregations over an exploded pair stream — map-side
-  partial counts, one exchange each on (w1, w2) / (w1). The token->pair
-  kernel is pure Catalyst array expressions (lower/split/filter/slice/
-  arrays_zip/explode): no UDF, no Python.
+* FIT scans the corpus-sized pair stream ONCE (map-side partial
+  counts, one exchange on (w1, w2)); the unigram table folds from the
+  resulting small count table, never from the corpus again. The
+  token->pair kernel is pure Catalyst array expressions (lower/split/
+  filter/slice/arrays_zip/explode): no UDF, no Python.
 * SCORE is two left joins of the document pair stream against the count
   tables followed by a per-doc aggregation. Join strategy is left to
   Catalyst/AQE: a small model broadcasts, a web-scale model sort-merge
@@ -43,13 +44,20 @@ _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
 def _tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), _TOKEN_SPLIT), lambda x: x != "")
+    # NULL text is an empty document (split(NULL) is NULL and would
+    # otherwise silently erase the row from every downstream count)
+    return F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), _TOKEN_SPLIT),
+        lambda x: x != "",
+    )
 
 
 def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(doc_id, w1, w2)`` — one row per bigram occurrence, with BOS/EOS
     sentinels (a document with tokens t1..tn yields (BOS,t1), (t1,t2),
-    ..., (tn,EOS); an empty document yields (BOS,EOS)). Map-side only."""
+    ..., (tn,EOS); an empty or NULL-text document yields (BOS,EOS), so
+    every input row stays visible to scoring and filtering). Map-side
+    only."""
     padded = F.concat(
         F.array(F.lit(BOS)), _tokens(F.col(text_col)), F.array(F.lit(EOS))
     )
@@ -78,7 +86,10 @@ def fit_bigram_lm(
     aggregate; the scalar vocab count is the only driver-side value."""
     pairs = doc_bigrams(docs, text_col)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    unigrams = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    # c(w1) == sum_w2 c(w1,w2) by construction, so the unigram table
+    # folds from the (small) bigram count table instead of re-exploding
+    # and re-shuffling the corpus-sized pair stream a second time
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c").alias("c"))
     vocab_size = bigrams.select("w2").distinct().count()
     return bigrams, unigrams, int(vocab_size)
 

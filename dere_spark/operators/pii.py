@@ -30,29 +30,48 @@ IPV4_RE = (
     r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
     r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
 )
-PHONE_RE = r"(?:\+[0-9]{1,3}[ -]?)?(?:\([0-9]{3}\)[ -]?|[0-9]{3}[ -])[0-9]{3}[ -][0-9]{4}"
+#: digit lookarounds keep the match from biting into longer digit runs
+#: (order ids, serials) — precision first. Java-regex lookbehind is fine
+#: here because these patterns only ever run in Spark; the driver gate's
+#: DuckDB oracle states its expectations arithmetically, no regex.
+PHONE_RE = (
+    r"(?<![0-9])(?:\+[0-9]{1,3}[ -]?)?(?:\([0-9]{3}\)[ -]?|[0-9]{3}[ -])"
+    r"[0-9]{3}[ -][0-9]{4}(?![0-9])"
+)
 
 EMAIL_MASK = "<EMAIL>"
 IP_MASK = "<IP>"
 PHONE_MASK = "<PHONE>"
 
 
+def _email_masked(text: Column) -> Column:
+    return F.regexp_replace(text, EMAIL_RE, EMAIL_MASK)
+
+
+def _ip_masked(text: Column) -> Column:
+    return F.regexp_replace(_email_masked(text), IPV4_RE, IP_MASK)
+
+
 def redact_pii(text: Column) -> Column:
     """Masked text: emails -> <EMAIL>, IPv4 -> <IP>, phones -> <PHONE>.
     Idempotent (mask tokens match none of the patterns)."""
-    out = F.regexp_replace(text, EMAIL_RE, EMAIL_MASK)
-    out = F.regexp_replace(out, IPV4_RE, IP_MASK)
-    out = F.regexp_replace(out, PHONE_RE, PHONE_MASK)
-    return out
+    return F.regexp_replace(_ip_masked(text), PHONE_RE, PHONE_MASK)
 
 
 def pii_counts(text: Column) -> Column:
     """``struct(n_emails, n_ips, n_phones)`` found in ``text`` — the audit
-    side-channel (corpus PII rates are a release-report metric)."""
+    side-channel (corpus PII rates are a release-report metric). Each
+    count is evaluated on the text with all EARLIER patterns masked —
+    exactly what ``redact_pii`` replaces — so the audit always agrees
+    with the redaction (an IP's trailing octets can never be
+    double-reported as a phone). The stages are built from the same
+    expression subtrees as ``redact_pii`` so whole-stage codegen's
+    subexpression elimination evaluates each regex pass once per row
+    when the two are projected together."""
     return F.struct(
         F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.regexp_replace(text, EMAIL_RE, EMAIL_MASK), F.lit(IPV4_RE)).alias("n_ips"),
-        F.regexp_count(F.regexp_replace(text, EMAIL_RE, EMAIL_MASK), F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(_email_masked(text), F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(_ip_masked(text), F.lit(PHONE_RE)).alias("n_phones"),
     )
 
 

@@ -123,3 +123,16 @@ def test_parameter_validation(spark):
         perplexity(docs, bigrams, unigrams, v, k=0.0)
     with pytest.raises(ValueError):
         perplexity(docs, bigrams, unigrams, vocab_size=0)
+
+
+def test_null_text_scored_not_dropped(spark):
+    # a NULL-text row is an empty document: it gets a (BOS,EOS) score row
+    # and survives filter_by_perplexity like any other document
+    rows = [("d1", "the cat sat"), ("dn", None)]
+    docs = _docs(spark, rows)
+    bigrams, unigrams, v = fit_bigram_lm(docs)
+    scores = perplexity(docs, bigrams, unigrams, v)
+    got = {r.doc_id: r.n_bigrams for r in scores.collect()}
+    assert got["dn"] == 1  # the lone (BOS, EOS) pair
+    kept = filter_by_perplexity(docs, scores, max_ppl=1e9)
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {"d1", "dn"}

@@ -62,3 +62,22 @@ def test_map_side_only_no_exchange(spark):
     docs = spark.createDataFrame([("d", "x")], "doc_id string, text string")
     plan = scrub_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_digit_adjacent_runs_not_bitten(spark):
+    # a 13-digit order id contains a phone-shaped substring; the digit
+    # lookarounds must keep the pattern from destroying it
+    s = "order id 9555-123-456789 ok, ref 555-123-4567890"
+    r = _scrub_one(spark, s)
+    assert r.r == s
+    assert r.c.n_phones == 0
+
+
+def test_counts_agree_with_redaction_order(spark):
+    # an IP's trailing octets must not be double-reported as a phone:
+    # counts evaluate each pattern on the earlier-masked text, exactly
+    # what redact_pii replaces
+    s = "server 10.0.0.255 123-4567 up"
+    r = _scrub_one(spark, s)
+    assert r.r == "server <IP> 123-4567 up"
+    assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (0, 1, 0)
