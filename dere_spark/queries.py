@@ -2676,6 +2676,63 @@ def _register_pii() -> None:
 _register_pii()
 
 
+def _register_gopher_quality() -> None:
+    @register(
+        "text_repetition_stats",
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), words AS (
+          SELECT doc_id, unnest(t) AS w FROM toks
+        ), wstats AS (
+          SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS n_distinct,
+                 sum(length(w)) AS word_chars
+          FROM words GROUP BY doc_id
+        ), wtop AS (
+          SELECT doc_id, max(c) AS top_word_n
+          FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+          GROUP BY doc_id
+        ), grams AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                               i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks
+        ), gstats AS (
+          SELECT doc_id, CAST(sum(c) AS INT) AS n_2grams, max(c) AS top_2gram_n
+          FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(ws.n_words, 0) AS INT) AS n_words,
+               CAST(COALESCE(ws.n_distinct, 0) AS INT) AS n_distinct,
+               CAST(COALESCE(ws.word_chars, 0) AS INT) AS word_chars,
+               CAST(COALESCE(wt.top_word_n, 0) AS INT) AS top_word_n,
+               CAST(COALESCE(gs.n_2grams, 0) AS INT) AS n_2grams,
+               CAST(COALESCE(gs.top_2gram_n, 0) AS INT) AS top_2gram_n
+        FROM toks t
+        LEFT JOIN wstats ws USING (doc_id)
+        LEFT JOIN wtop wt USING (doc_id)
+        LEFT JOIN gstats gs USING (doc_id)
+        """,
+    )
+    def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher repetition counters (operators/gopher_quality.py) over
+        the REAL corpus text. The Spark plan is per-row sorted-array
+        run-length folds (map-side, no shuffle); the oracle re-derives
+        every counter the opposite way — unnest to rows, group, max —
+        so the gate cross-checks two genuinely different computation
+        shapes for the same exact integers."""
+        from dere_spark.operators.gopher_quality import repetition_stats
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return repetition_stats(docs)
+
+
+_register_gopher_quality()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2686,10 +2743,11 @@ _register_pii()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 8
-# r05-green keepers parked mid-round to fit the 8 new gates (5 web +
-# text_bigram_counts + decontam_hits + text_pii_stats; 66 registered -
-# 50 slots = 16 parked per round from r6 on).
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 9
+# r05-green keepers parked mid-round to fit the 9 new gates (5 web +
+# text_bigram_counts + decontam_hits + text_pii_stats +
+# text_repetition_stats; 67 registered - 50 slots = 17 parked per round
+# from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2707,14 +2765,16 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
-    # r6 mid-round extension: registering the 8 new gates (5 web +
-    # text_bigram_counts + decontam_hits + text_pii_stats) grew the
-    # registry to 66, so the 50-slot window must park 16 per round, not
-    # 8. These 8 keepers are r05-green and their operator families keep
-    # other in-window gates (treebank_fidelity + treebank_punct_tokens;
-    # text_quality_scores + text_language_id; 8 other dedup gates incl.
-    # dedup_clusters; events_cube_counts for rollup/cube; the kg CTE
-    # family keeps 8+ gates). Round 7's lead is this FULL 16-tuple.
+    # r6 mid-round extension: registering the 9 new gates (5 web +
+    # text_bigram_counts + decontam_hits + text_pii_stats +
+    # text_repetition_stats) grew the registry to 67, so the 50-slot
+    # window must park 17 per round, not 8. These 9 keepers are
+    # r05-green and their operator families keep other in-window gates
+    # (treebank_fidelity + treebank_punct_tokens; text_quality_scores +
+    # text_language_id; 8 other dedup gates incl. dedup_clusters;
+    # events_cube_counts for rollup/cube; the kg CTE family keeps 8+
+    # gates; window_sessionize for the window family). Round 7's lead is
+    # this FULL 17-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
@@ -2723,6 +2783,7 @@ ROTATED_OUT: tuple = (
     "text_token_stats",
     "kg_pred_rollup",
     "kg_between_tokens",
+    "window_event_lag",
 )
 
 _WINDOW_LEAD = (
