@@ -31,18 +31,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from dere_spark.operators.ngram_lm import _tokens
+from dere_spark.operators.ngram_lm import _tokens, word_ngrams
 
 
 def _gram_array(text: Column, n: int) -> Column:
-    toks = _tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return word_ngrams(_tokens(text), n)
 
 
 def ngram_set(docs: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from dere_spark.operators.ngram_lm import _tokens
+from dere_spark.operators.ngram_lm import _tokens, word_ngrams
 
 
 def _max_multiplicity(arr: Column) -> Column:
@@ -56,14 +56,28 @@ def _max_multiplicity(arr: Column) -> Column:
 
 
 def _2grams(toks: Column) -> Column:
-    return F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return word_ngrams(toks, 2)
+
+
+_STAT_NAMES = (
+    "n_words", "n_distinct", "word_chars", "top_word_n", "n_2grams",
+    "top_2gram_n",
+)
+
+
+def _stat_cols(text_col: str) -> list:
+    toks = _tokens(F.col(text_col))
+    grams = _2grams(toks)
+    return [
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("word_chars"),
+        _max_multiplicity(toks).alias("top_word_n"),
+        F.size(grams).alias("n_2grams"),
+        _max_multiplicity(grams).alias("top_2gram_n"),
+    ]
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,19 +88,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     across tokens (mean word length = word_chars / n_words), the top
     word's multiplicity, 2-gram count, and the top 2-gram's multiplicity.
     Map-side only; every column is an exact integer."""
-    toks = _tokens(F.col(text_col))
-    grams = _2grams(toks)
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.aggregate(
-            toks, F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("word_chars"),
-        _max_multiplicity(toks).alias("top_word_n"),
-        F.size(grams).alias("n_2grams"),
-        _max_multiplicity(grams).alias("top_2gram_n"),
-    )
+    return docs.select("doc_id", *_stat_cols(text_col))
 
 
 def gopher_filter(
@@ -103,24 +105,33 @@ def gopher_filter(
     """The Gopher repetition cut: keep documents passing every rule
     (defaults follow the paper's Table A1 where a bigram analog exists).
     Thresholds are per-row single-IEEE-op comparisons over the exact
-    integer stats — deterministic under any partitioning."""
-    s = repetition_stats(docs, text_col).alias("s")
-    n = F.col("s.n_words").cast("double")
+    integer stats — deterministic under any partitioning.
+
+    Every rule is a per-row expression, so the cut is a plain
+    Filter-over-Project — NO join, NO shuffle, one scan (stat columns
+    are attached inline, filtered on, then dropped; the input must not
+    already carry columns named like the stats). ``filter_by_perplexity``
+    needs its semi join because scores come from aggregations; here they
+    don't."""
+    clash = set(_STAT_NAMES) & set(docs.columns)
+    if clash:
+        raise ValueError(f"docs already has stat columns: {sorted(clash)}")
+    s = docs.select("*", *_stat_cols(text_col))
+    n = F.col("n_words").cast("double")
     ok = (
-        (F.col("s.n_words") >= min_words)
-        & (F.col("s.n_words") <= max_words)
-        & (F.col("s.word_chars").cast("double") / n >= min_mean_word_len)
-        & (F.col("s.word_chars").cast("double") / n <= max_mean_word_len)
-        & (F.col("s.top_word_n").cast("double") / n <= max_top_word_frac)
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("word_chars").cast("double") / n >= min_mean_word_len)
+        & (F.col("word_chars").cast("double") / n <= max_mean_word_len)
+        & (F.col("top_word_n").cast("double") / n <= max_top_word_frac)
         & (
-            (F.col("s.n_2grams") == 0)
+            (F.col("n_2grams") == 0)
             | (
-                F.col("s.top_2gram_n").cast("double")
-                / F.col("s.n_2grams").cast("double")
+                F.col("top_2gram_n").cast("double")
+                / F.col("n_2grams").cast("double")
                 <= max_top_2gram_frac
             )
         )
-        & (F.col("s.n_distinct").cast("double") / n >= min_distinct_frac)
+        & (F.col("n_distinct").cast("double") / n >= min_distinct_frac)
     )
-    keep = s.where(ok).select("doc_id")
-    return docs.join(keep, "doc_id", "left_semi")
+    return s.where(ok).drop(*_STAT_NAMES)

@@ -52,6 +52,20 @@ def _tokens(text: Column) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token array (empty array when
+    the document has fewer than ``n`` tokens) — the one shared gram
+    kernel (``decontaminate`` and ``gopher_quality`` both build on it).
+    Pure per-row array expressions."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(doc_id, w1, w2)`` — one row per bigram occurrence, with BOS/EOS
     sentinels (a document with tokens t1..tn yields (BOS,t1), (t1,t2),

@@ -34,9 +34,13 @@ IPV4_RE = (
 #: (order ids, serials) — precision first. Java-regex lookbehind is fine
 #: here because these patterns only ever run in Spark; the driver gate's
 #: DuckDB oracle states its expectations arithmetically, no regex.
+#: the extra hyphen-continuation lookarounds keep the pattern out of
+#: 4+-group hyphenated serials ('555-123-4567-8901' stays intact) while
+#: still matching a phone that merely FOLLOWS a number ('port 1 +44 ...')
 PHONE_RE = (
-    r"(?<![0-9])(?:\+[0-9]{1,3}[ -]?)?(?:\([0-9]{3}\)[ -]?|[0-9]{3}[ -])"
-    r"[0-9]{3}[ -][0-9]{4}(?![0-9])"
+    r"(?<![0-9])(?<![0-9]-)(?:\+[0-9]{1,3}[ -]?)?"
+    r"(?:\([0-9]{3}\)[ -]?|[0-9]{3}[ -])"
+    r"[0-9]{3}[ -][0-9]{4}(?![0-9])(?!-[0-9])"
 )
 
 EMAIL_MASK = "<EMAIL>"
@@ -45,7 +49,10 @@ PHONE_MASK = "<PHONE>"
 
 
 def _email_masked(text: Column) -> Column:
-    return F.regexp_replace(text, EMAIL_RE, EMAIL_MASK)
+    # NULL text is an empty document (repo-wide invariant, same as
+    # ngram_lm._tokens): scrubbed must be '' and audit counts 0, never
+    # NULLs that a where(n_x == 0) audit would silently drop
+    return F.regexp_replace(F.coalesce(text, F.lit("")), EMAIL_RE, EMAIL_MASK)
 
 
 def _ip_masked(text: Column) -> Column:
@@ -69,7 +76,7 @@ def pii_counts(text: Column) -> Column:
     subexpression elimination evaluates each regex pass once per row
     when the two are projected together."""
     return F.struct(
-        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(_email_masked(text), F.lit(IPV4_RE)).alias("n_ips"),
         F.regexp_count(_ip_masked(text), F.lit(PHONE_RE)).alias("n_phones"),
     )

@@ -71,3 +71,16 @@ def test_map_side_only_no_exchange(spark):
     docs = _docs(spark, [("d", "a b c")])
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    # the composite cut is a Filter-over-Project, not a join: still no
+    # shuffle and only one scan of the corpus
+    fplan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in fplan and "Join" not in fplan
+
+
+def test_filter_rejects_stat_name_clash(spark):
+    import pytest
+    docs = spark.createDataFrame(
+        [("d", "a b c", 1)], "doc_id string, text string, n_words int"
+    )
+    with pytest.raises(ValueError):
+        gopher_filter(docs)

@@ -81,3 +81,22 @@ def test_counts_agree_with_redaction_order(spark):
     r = _scrub_one(spark, s)
     assert r.r == "server <IP> 123-4567 up"
     assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (0, 1, 0)
+
+
+def test_hyphenated_serials_untouched_but_phone_after_number_matches(spark):
+    # 4-group hyphenated serial: no partial bite anywhere
+    s = "ref 555-123-4567-8901 shipped"
+    r = _scrub_one(spark, s)
+    assert r.r == s and r.c.n_phones == 0
+    # a phone that merely FOLLOWS a number still redacts
+    r2 = _scrub_one(spark, "port 1 +44 555-123-9999 open")
+    assert r2.r == "port 1 <PHONE> open" and r2.c.n_phones == 1
+
+
+def test_null_text_scrubs_to_empty_with_zero_counts(spark):
+    docs = spark.createDataFrame(
+        [("d", None)], "doc_id string, text string"
+    )
+    row = scrub_documents(docs).first()
+    assert row.scrubbed == ""
+    assert (row.n_emails, row.n_ips, row.n_phones) == (0, 0, 0)
