@@ -33,6 +33,39 @@ def deterministic_split(
     return df.where(b < ratio), df.where(b >= ratio)
 
 
+def weighted_sample(
+    df: DataFrame,
+    fractions: "dict[str, float]",
+    group_col: str = "lang",
+    key: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — corpus MIXTURE
+    weights (the Pile/Dolma source-mixing step: sample each source/
+    language/quality bucket at its own rate before training).
+
+    A row in group ``g`` survives iff md5(seed|key) as a uniform [0,1)
+    value is below ``fractions[g]``; groups absent from ``fractions``
+    are dropped entirely (a mixture is an explicit allowlist). Content-
+    derived buckets make the draw reproducible across engines, sessions,
+    parallelism levels and cluster sizes — ``DataFrame.sample`` is only
+    partition-stable — and different seeds draw independent samples.
+    Pure map-side filter: the fraction table ships as a CASE literal,
+    no join, no shuffle. Fractions must be in [0, 1]; upsampling
+    (fraction > 1) is a different operator (explode over a repeat
+    count), deliberately not hidden behind the same name."""
+    for g, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0,1], got {f}")
+    frac = F.lit(None).cast("double")
+    for g, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    b = split_bucket(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key).cast("string"))
+    )
+    return df.where(b < frac)
+
+
 def seeded_shuffle(df: DataFrame, seed: int, key: str = "doc_id") -> DataFrame:
     """Deterministic 'random' ordering — O2, the reference's fixed-seed
     Fisher-Yates before fitting (span_classifier.py:59-67,

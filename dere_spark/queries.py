@@ -2733,6 +2733,33 @@ def _register_gopher_quality() -> None:
 _register_gopher_quality()
 
 
+def _register_weighted_sample() -> None:
+    @register(
+        "corpus_weighted_sample",
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                          WHEN 'fr' THEN 0.25 END
+        """,
+    )
+    def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mixture sampling (corpus_ops.weighted_sample) at per-language
+        rates en=0.5 / de=1.0 / fr=0.25, seed 7 — es/zh are absent from
+        the mixture and must vanish. Row-level output (doc_id, lang): the
+        gate pins the exact per-row md5 draw, not just group counts."""
+        from dere_spark.operators.corpus_ops import weighted_sample
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        return weighted_sample(
+            docs, {"en": 0.5, "de": 1.0, "fr": 0.25}, group_col="lang", seed=7
+        )
+
+
+_register_weighted_sample()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2743,11 +2770,11 @@ _register_gopher_quality()
 # round.  Rotation cadence (VERDICT r4 #1): no gate goes two rounds without
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
-# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus 9
-# r05-green keepers parked mid-round to fit the 9 new gates (5 web +
+# fresh green rows in CORRECTNESS_r05 park for exactly one round, plus
+# 10 r05-green keepers parked mid-round to fit the 10 new gates (5 web +
 # text_bigram_counts + decontam_hits + text_pii_stats +
-# text_repetition_stats; 67 registered - 50 slots = 17 parked per round
-# from r6 on).
+# text_repetition_stats + corpus_weighted_sample; 68 registered - 50
+# slots = 18 parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2765,16 +2792,17 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
-    # r6 mid-round extension: registering the 9 new gates (5 web +
+    # r6 mid-round extension: registering the 10 new gates (5 web +
     # text_bigram_counts + decontam_hits + text_pii_stats +
-    # text_repetition_stats) grew the registry to 67, so the 50-slot
-    # window must park 17 per round, not 8. These 9 keepers are
-    # r05-green and their operator families keep other in-window gates
-    # (treebank_fidelity + treebank_punct_tokens; text_quality_scores +
-    # text_language_id; 8 other dedup gates incl. dedup_clusters;
-    # events_cube_counts for rollup/cube; the kg CTE family keeps 8+
-    # gates; window_sessionize for the window family). Round 7's lead is
-    # this FULL 17-tuple.
+    # text_repetition_stats + corpus_weighted_sample) grew the registry
+    # to 68, so the 50-slot window must park 18 per round, not 8. These
+    # 10 keepers are r05-green and their operator families keep other
+    # in-window gates (treebank_fidelity + treebank_punct_tokens;
+    # text_quality_scores + text_language_id; 8 other dedup gates incl.
+    # dedup_clusters; events_cube_counts for rollup/cube; the kg CTE
+    # family keeps 8+ gates; window_sessionize for the window family;
+    # eval_span_counts + eval_prf for the eval family). Round 7's lead
+    # is this FULL 18-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
@@ -2784,6 +2812,7 @@ ROTATED_OUT: tuple = (
     "kg_pred_rollup",
     "kg_between_tokens",
     "window_event_lag",
+    "eval_dup_adjustment",
 )
 
 _WINDOW_LEAD = (
