@@ -28,7 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Order is the curated DRIVER_WINDOW (dere_spark/queries.py): the driver's
     CORRECTNESS artifact caps at the first 50 entries, so the 50-slot window
     is an explicit, documented choice rather than registration-order
-    happenstance. The trailing rotated-out gates (18 from r6 on: 68
+    happenstance. The trailing rotated-out gates (19 from r6 on: 69
     registered - 50 slots) stay registered and are oracle-checked by the
     local harness."""
     return ordered_queries()

@@ -2760,6 +2760,43 @@ def _register_weighted_sample() -> None:
 _register_weighted_sample()
 
 
+def _register_packing() -> None:
+    @register(
+        "corpus_pack_shards",
+        """
+        WITH base AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) AS ord,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 64 AS bucket,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 256.0) AS INT)
+                 AS shard
+        FROM base
+        WINDOW w AS (PARTITION BY bucket ORDER BY ord, doc_id
+                     ROWS UNBOUNDED PRECEDING)
+        """,
+    )
+    def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Training-shard packing (operators/packing.py) over the real
+        corpus at a 256-token budget, 64 md5 buckets. Row-level output
+        pins the full deterministic assignment (bucket routing, md5
+        ordering, exclusive-cumsum shard ids) against an independent
+        DuckDB window re-derivation."""
+        from dere_spark.operators.packing import pack_shards
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return pack_shards(docs, token_budget=256, num_buckets=64)
+
+
+_register_packing()
+
+
 # ---------------------------------------------------------------------------
 # Driver window curation (round 6 rotation).
 #
@@ -2771,10 +2808,10 @@ _register_weighted_sample()
 # a driver row.  Round-6 swap: the 8 gates parked in r5 (last driver row:
 # CORRECTNESS_r04) rotate back in as the lead; the 8 gates that received
 # fresh green rows in CORRECTNESS_r05 park for exactly one round, plus
-# 10 r05-green keepers parked mid-round to fit the 10 new gates (5 web +
+# 11 r05-green keepers parked mid-round to fit the 11 new gates (5 web +
 # text_bigram_counts + decontam_hits + text_pii_stats +
-# text_repetition_stats + corpus_weighted_sample; 68 registered - 50
-# slots = 18 parked per round from r6 on).
+# text_repetition_stats + corpus_weighted_sample + corpus_pack_shards;
+# 69 registered - 50 slots = 19 parked per round from r6 on).
 # ROTATED_OUT gates remain registered and are still oracle-checked locally
 # every run by tests/test_oracle_parity.py, which also asserts
 # ROTATED_OUT ∩ _PREV_ROTATED_OUT == ∅ — the "no gate misses two
@@ -2792,17 +2829,18 @@ ROTATED_OUT: tuple = (
     "regex_class_rewrite",
     "window_rank_kinds",
     "events_json_extract",
-    # r6 mid-round extension: registering the 10 new gates (5 web +
+    # r6 mid-round extension: registering the 11 new gates (5 web +
     # text_bigram_counts + decontam_hits + text_pii_stats +
-    # text_repetition_stats + corpus_weighted_sample) grew the registry
-    # to 68, so the 50-slot window must park 18 per round, not 8. These
-    # 10 keepers are r05-green and their operator families keep other
-    # in-window gates (treebank_fidelity + treebank_punct_tokens;
-    # text_quality_scores + text_language_id; 8 other dedup gates incl.
-    # dedup_clusters; events_cube_counts for rollup/cube; the kg CTE
-    # family keeps 8+ gates; window_sessionize for the window family;
-    # eval_span_counts + eval_prf for the eval family). Round 7's lead
-    # is this FULL 18-tuple.
+    # text_repetition_stats + corpus_weighted_sample +
+    # corpus_pack_shards) grew the registry to 69, so the 50-slot
+    # window must park 19 per round, not 8. These 11 keepers are
+    # r05-green and their operator families keep other in-window gates
+    # (treebank_fidelity + treebank_punct_tokens; text_quality_scores +
+    # text_language_id; 7 other dedup gates incl. dedup_clusters;
+    # events_cube_counts for rollup/cube; the kg CTE family keeps 8+
+    # gates; window_sessionize for the window family; eval_span_counts
+    # + eval_prf for the eval family). Round 7's lead is this FULL
+    # 19-tuple.
     "treebank_punct_delta",
     "text_quality",
     "dedup_simhash",
@@ -2813,6 +2851,7 @@ ROTATED_OUT: tuple = (
     "kg_between_tokens",
     "window_event_lag",
     "eval_dup_adjustment",
+    "dedup_ngram_shingles",
 )
 
 _WINDOW_LEAD = (

@@ -53,10 +53,11 @@ def test_driver_window_is_curated():
     assert set(_PREV_ROTATED_OUT) <= set(DRIVER_WINDOW)
     # r6 rotation: the 8 gates whose last driver row is CORRECTNESS_r04
     # lead; the 8 freshly verified in CORRECTNESS_r05 are parked one round,
-    # plus 10 r05-green keepers parked to make room for the 10 new gates
+    # plus 11 r05-green keepers parked to make room for the 11 new gates
     # (5 web + text_bigram_counts + decontam_hits + text_pii_stats +
-    # text_repetition_stats + corpus_weighted_sample; 68 registered -
-    # 50 slots = 18 parked per round from r6 on)
+    # text_repetition_stats + corpus_weighted_sample +
+    # corpus_pack_shards; 69 registered - 50 slots = 19 parked per
+    # round from r6 on)
     assert DRIVER_WINDOW[:8] == (
         "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
         "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
@@ -69,14 +70,14 @@ def test_driver_window_is_curated():
         "treebank_punct_delta", "text_quality", "dedup_simhash",
         "text_fingerprint", "dedup_clusters_star", "text_token_stats",
         "kg_pred_rollup", "kg_between_tokens", "window_event_lag",
-        "eval_dup_adjustment",
+        "eval_dup_adjustment", "dedup_ngram_shingles",
     )
     # the new gates must actually receive driver rows this round
     assert {
         "web_latest_snapshot", "web_resolve_links", "web_host_graph",
         "web_main_text", "web_pagerank", "text_bigram_counts",
         "decontam_hits", "text_pii_stats", "text_repetition_stats",
-        "corpus_weighted_sample",
+        "corpus_weighted_sample", "corpus_pack_shards",
     } <= set(DRIVER_WINDOW)
 
     spec = importlib.util.spec_from_file_location(
