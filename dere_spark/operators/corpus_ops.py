@@ -17,12 +17,20 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def md5_prefix_long(col: Column) -> Column:
+    """First 32 md5 bits of a key column as a non-negative long — THE
+    content-derived hash every bucketing operator shares (splits,
+    mixture sampling, shard packing). Engine-portable: DuckDB spells it
+    ('0x'||substr(md5(k),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def split_bucket(col: Column) -> Column:
     """Uniform [0,1) value from md5 of a key column (engine-portable:
     DuckDB spells it ('0x'||substr(md5(k),1,8))::BIGINT / 2^32)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(float(2 ** 32))
+    return md5_prefix_long(col).cast("double") / F.lit(float(2 ** 32))
 
 
 def deterministic_split(

@@ -14,13 +14,18 @@ WITHIN buckets: each bucket's documents are ordered deterministically
 (one hash exchange on the bucket key — bounded, tunable parallelism),
 and a document lands in shard ``floor(cumsum_exclusive / budget)``.
 
-Semantics: SOFT capacity. A shard may overflow by (at most) the last
-document's tail because documents are never split; a document larger
-than the budget occupies its own shard. This is the standard data-prep
-contract (splitting documents is the tokenizer consumer's decision,
-not the packer's). Every output value is an exact integer over a
-deterministic order, so the driver gate hash-compares against an
-independent DuckDB window re-derivation.
+Semantics: SOFT capacity. A shard holds a consecutive run of the
+bucket's document order and may overflow its budget by (at most) the
+tail of its last document — documents are never split (that is the
+tokenizer consumer's decision, not the packer's). Consequently an
+oversized document forces every LATER document into a later shard, but
+may itself share a shard with the small documents that preceded it
+inside its budget range. ``doc_id`` must be unique (it is the corpus
+identity key everywhere in this engine); duplicate ids would make the
+tie-broken order — and therefore the assignment — partition-dependent.
+Every output value is an exact integer over a deterministic order, so
+the driver gate hash-compares against an independent DuckDB window
+re-derivation.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from dere_spark.operators.corpus_ops import md5_prefix_long
 from dere_spark.operators.ngram_lm import _tokens
 
 
@@ -47,9 +53,7 @@ def pack_shards(
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     key = F.md5(F.col("doc_id").cast("string"))
-    bucket = (
-        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % num_buckets
-    ).alias("bucket")
+    bucket = (md5_prefix_long(F.col("doc_id")) % num_buckets).alias("bucket")
     base = docs.select(
         "doc_id",
         bucket,

@@ -2769,8 +2769,9 @@ def _register_packing() -> None:
                  md5(CAST(doc_id AS VARCHAR)) AS ord,
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                    % 64 AS bucket,
-                 len(list_filter(regexp_split_to_array(lower(text),
-                                                       '[^a-z0-9]+'),
+                 len(list_filter(regexp_split_to_array(
+                                     lower(coalesce(text, '')),
+                                     '[^a-z0-9]+'),
                                  x -> x <> '')) AS n_tokens
           FROM documents
         )

@@ -51,25 +51,21 @@ def test_matches_reference_and_soft_capacity(spark):
     )
 
 
-def test_oversized_doc_gets_own_shard(spark):
-    rows = [("big", " ".join(["w"] * 100)), ("a", "x y"), ("b", "x y z")]
-    got = {r.doc_id: (r.bucket, r.n_tokens, r.shard)
+def test_oversized_doc_forces_successors_into_later_shards(spark):
+    # construct the fixture so the oversized doc is provably FIRST in
+    # md5 order within the bucket: its exclusive cumsum is 0 (shard 0)
+    # and every successor must start at cumsum >= 100 (shard >= 10)
+    candidates = [f"x{i}" for i in range(50)]
+    order = sorted(candidates, key=lambda d: hashlib.md5(d.encode()).hexdigest())
+    big, small1, small2 = order[0], order[1], order[2]
+    rows = [(big, " ".join(["w"] * 100)), (small1, "x y"), (small2, "x y z")]
+    got = {r.doc_id: (r.n_tokens, r.shard)
            for r in pack_shards(_docs(spark, rows), token_budget=10,
                                 num_buckets=1).collect()}
-    assert got == _py_pack(rows, budget=10)
-    # whoever follows the 100-token doc in md5 order must start a new
-    # shard: no other doc shares big's shard unless it PRECEDES big at
-    # cumulative 0 (documents are never split)
-    big_shard = got["big"][2]
-    for doc, (_, _, s) in got.items():
-        if doc != "big" and s == big_shard:
-            ref = _py_pack(rows, budget=10)
-            import hashlib
-            assert (
-                hashlib.md5(doc.encode()).hexdigest()
-                < hashlib.md5(b"big".hex().encode()).hexdigest()
-                or ref[doc][2] == big_shard
-            )
+    assert got == {d: (n, s) for d, (_, n, s) in _py_pack(rows, budget=10).items()}
+    assert got[big] == (100, 0)
+    assert got[small1][1] == 10  # floor(100 / 10)
+    assert got[small2][1] == 10  # floor(102 / 10)
 
 
 def test_deterministic_across_partitioning(spark):
