@@ -48,6 +48,69 @@ def shingles(tokens: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_arrays(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, shingles: array<string>) with the
+    doc's DISTINCT token n-grams — entirely per-row (guide §2.4/§4.1).
+
+    Value-identical to ``shingles(tokenize(documents))`` reshaped as one
+    array row per document: the n-gram at position i is tokens[i..i+n-1]
+    joined by the separator, exactly what the window-lead formulation
+    emits, and ``array_distinct`` is the per-row equivalent of the global
+    ``.distinct()`` (the set is per-document either way). The physical
+    win: no token explode, no per-document window sort, and no
+    (doc_id, shingle) distinct exchange — the whole shingle stage rides
+    the document scan inside whole-stage codegen with ZERO shuffles.
+
+    Parity details with the row formulation:
+      * docs with < n tokens produced no shingle rows -> dropped here by
+        the token-count pre-filter (size(shingles) > 0 ⟺ the doc has at
+        least n tokens, so filtering on the SOURCE predicate is
+        equivalent — and crucially it keeps the optimizer from pushing a
+        filter ON the expensive derived column down to the scan with the
+        whole shingle expression inlined, which r7 measured as a 17-40x
+        regression: the filter then re-ran split(text) per lambda
+        element, single-threaded, below the repartition);
+      * NULL text produced no exploded tokens -> size(split(NULL)) is
+        NULL -> the same pre-filter drops it.
+
+    Physical-shape invariants (measured, r7): ``_toks`` is materialized
+    in its own projection and referenced several times by the gram
+    expression, and ``shingles`` itself is expensive + multiply
+    referenced by every consumer this module ships — both block
+    CollapseProject from inlining the expression into downstream
+    lambdas, where interpreted HOF evaluation would recompute it per
+    outer-lambda element (no common-subexpression elimination there).
+    """
+    toks = F.split(F.col(text_col), " ", -1)
+    tk = F.col("_toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(tk, i + j) for j in range(n)]
+    )
+    grams = F.transform(F.sequence(F.lit(0), F.size(tk) - n), gram)
+    return (
+        documents.where(F.size(toks) >= n)
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.array_distinct(grams).alias("shingles"))
+    )
+
+
+def explode_shingles(shingle_arr: DataFrame) -> DataFrame:
+    """(doc_id, shingles) -> the row form (doc_id, shingle) for consumers
+    that genuinely need shingle-level rows (the Jaccard verify join).
+
+    explode_outer, deliberately: plain explode triggers
+    InferFiltersFromGenerate, which pushes an inferred
+    ``size(shingles) > 0`` — with the entire shingle expression INLINED —
+    below the repartition to the single-task scan (r7 measured 5x on this
+    step alone). The arrays are non-empty by shingle_arrays' construction,
+    so outer vs inner explode is value-identical."""
+    return shingle_arr.select(
+        "doc_id", F.explode_outer("shingles").alias("shingle")
+    )
+
+
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, shingle) -> (doc_id, seed, minhash).
 
@@ -117,21 +180,31 @@ def lsh_bands_fused(
     per_doc = shingle_df.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("_sh")
     )
+    return _bands_from_array(per_doc, "_sh", num_hashes, bands)
+
+
+def _minhash_expr(sh_col, seed):
+    """min over the shingle array of md5(seed || '|' || shingle) — the md5
+    hash-family member every dedup gate's oracle pins."""
+    return F.array_min(
+        F.transform(sh_col, lambda s: F.md5(F.concat_ws("|", seed, s)))
+    )
+
+
+def _bands_from_array(
+    df: DataFrame, sh_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, <sh_col>: array<string>) -> (doc_id, band, band_sig)."""
     band_sig = lambda b: F.md5(  # noqa: E731
         F.concat_ws(
             ",",
             F.transform(
                 F.sequence(F.lit(b), F.lit(num_hashes - 1), F.lit(bands)),
-                lambda seed: F.array_min(
-                    F.transform(
-                        "_sh",
-                        lambda s: F.md5(F.concat_ws("|", seed, s)),
-                    )
-                ),
+                lambda seed: _minhash_expr(F.col(sh_col), seed),
             ),
         )
     )
-    banded = per_doc.select(
+    banded = df.select(
         "doc_id",
         F.explode(
             F.array(
@@ -146,6 +219,43 @@ def lsh_bands_fused(
     )
     return banded.select(
         "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig")
+    )
+
+
+def lsh_bands_rowwise(
+    shingle_arr: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, shingles: array) -> (doc_id, band, band_sig) with ZERO
+    exchanges: the per-row twin of ``lsh_bands_fused`` for inputs that
+    already carry one shingle array per document (`shingle_arrays`).
+    Same band/minhash arithmetic, so the same oracles pin it; the
+    groupBy(doc_id) collect the fused variant pays is simply not needed.
+    """
+    return _bands_from_array(shingle_arr, "shingles", num_hashes, bands)
+
+
+def minhash_from_arrays(
+    shingle_arr: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, shingles: array) -> (doc_id, seed, minhash), shuffle-free.
+
+    Value-identical to ``minhash_signatures`` (same md5 family, same min
+    per (doc, seed) — posexplode position IS the seed), but the min runs
+    as array_min inside the row instead of a shuffled min-aggregation
+    over num_hashes x shingles exploded rows."""
+    # one expression per seed (NOT a lambda over sequence(0, k-1)): the
+    # k explicit references to `shingles` keep CollapseProject from
+    # inlining the shingle expression into this projection — a
+    # single-reference nested-lambda form re-evaluated the whole shingle
+    # build once per seed per row (measured 40x at sf1.0, r7)
+    mh = F.array(
+        *[
+            _minhash_expr(F.col("shingles"), F.lit(seed))
+            for seed in range(num_hashes)
+        ]
+    )
+    return shingle_arr.select(
+        "doc_id", F.posexplode(mh).alias("seed", "minhash")
     )
 
 
@@ -174,18 +284,41 @@ def candidate_pairs_lsh(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame
         "bucket_size",
         F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig")),
     ).where(F.col("bucket_size") <= max_bucket)
-    a = sized.alias("a")
-    b = sized.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # Pair generation happens IN the bucket, not via a self-join: the old
+    # a⋈b formulation planned the entire upstream band pipeline TWICE
+    # (once per join side; one side additionally broadcast), so the
+    # shingle+minhash md5 work — the dominant cost — was double-paid.
+    # Collecting each surviving bucket's members (bounded by max_bucket,
+    # enforced BEFORE the collect by the window filter, so no over-cap
+    # bucket ever materializes as an array) and expanding sorted i<j
+    # combinations per row computes the upstream exactly once and reuses
+    # the window's (band, band_sig) partitioning for a no-exchange
+    # aggregation (r7, guide §2.4/§3.3).
+    buckets = (
+        sized.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_docs"))
+        .where(F.size("_docs") >= 2)
     )
+    # explode_outer: dodges InferFiltersFromGenerate, which would
+    # otherwise evaluate the full pair-expansion expression a second
+    # time in an inferred size>0 filter (buckets hold >= 2 docs, so the
+    # pair array is never empty and outer == inner).
+    pairs = buckets.select(
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    "_docs",
+                    lambda x, i: F.transform(
+                        F.slice("_docs", i + F.lit(2), F.size("_docs")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.select("_p.doc_a", "_p.doc_b").distinct()
 
 
 def jaccard_verify(pairs: DataFrame, shingle_df: DataFrame) -> DataFrame:
@@ -265,23 +398,38 @@ def simhash(shingle_df: DataFrame, half_bits: int = 32) -> DataFrame:
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(half_bits - 1))).alias("bit")
-    pw = F.pow(F.lit(2.0), F.col("bit")).cast("long")
-    votes = (
-        h.select("doc_id", bit, "hi", "lo")
-        .select(
-            "doc_id",
-            "bit",
-            (F.floor(F.col("hi") / pw) % 2 * 2 - 1).alias("vote_hi"),
-            (F.floor(F.col("lo") / pw) % 2 * 2 - 1).alias("vote_lo"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote_hi").alias("v_hi"), F.sum("vote_lo").alias("v_lo"))
+    # One 64-accumulator aggregation instead of exploding every shingle
+    # x 32 bits into rows and aggregating twice (r7, guide §2.3: the old
+    # shape pushed 32x the shingle count through two hash aggregations;
+    # this one keeps the per-bit vote sums as codegen'd agg buffers).
+    # shiftright(x, b) & 1 is bit-exact floor(x / 2^b) % 2 for the
+    # non-negative < 2^32 values conv() produces, so votes are unchanged.
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(half), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_v_{half}_{b}")
+            for half in ("hi", "lo")
+            for b in range(half_bits)
+        ]
     )
-    pw2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v_hi") > 0, pw2).otherwise(F.lit(0))).alias("simhash_hi"),
-        F.sum(F.when(F.col("v_lo") > 0, pw2).otherwise(F.lit(0))).alias("simhash_lo"),
+
+    def _fingerprint(half: str):
+        terms = [
+            F.when(F.col(f"_v_{half}_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(half_bits)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return votes.select(
+        "doc_id",
+        _fingerprint("hi").alias("simhash_hi"),
+        _fingerprint("lo").alias("simhash_lo"),
     )
 
 

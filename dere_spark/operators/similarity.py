@@ -51,10 +51,22 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a literal query."""
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # The query norm is a literal: fold it on the driver instead of
+    # re-running a 2x64-element HOF per row (r7, guide §1.2 "per-task
+    # work"). Python's left-to-right double sum is the same IEEE fold
+    # F.aggregate performs, so the value is bit-identical.
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    q_norm = F.lit(math.sqrt(qn))
     scored = embeddings.select(
         id_col,
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * q_norm), 6).alias(
+            "cos_sim"
+        ),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 

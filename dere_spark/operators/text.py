@@ -78,25 +78,73 @@ def language_id(tokens: DataFrame, markers: DataFrame) -> DataFrame:
 
 
 def quality_scores(documents: DataFrame, stopwords: Sequence[str] = ("the", "a")) -> DataFrame:
-    """Per-document pretraining-filter features, integers/exact ratios."""
-    toks = documents.select(
-        "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
+    """Per-document pretraining-filter features, integers/exact ratios.
+
+    Per-row since r7 (guide §2.4): every feature is a function of the
+    document's own token array, so the explode + groupBy(doc_id) shape
+    (which shuffled the whole token stream) is replaced by array
+    expressions riding the scan — count -> size, countDistinct ->
+    size∘array_distinct, conditional counts -> size∘filter, sum(len) ->
+    aggregate. Integer counts divide to the same doubles, so the
+    rounded ratios are bit-identical; NULL-text docs emitted no token
+    rows before and are filtered identically here."""
+    toks = F.split("text", " ", -1)
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    stop = F.col("token").isin(*stopwords)
-    agg = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("token").alias("n_types"),
-        F.sum(F.when(stop, 1).otherwise(0)).alias("n_stopwords"),
-        F.sum(F.when(F.col("token").rlike("^[a-z]+$"), 1).otherwise(0)).alias("n_alpha"),
-        F.sum(F.length("token")).alias("sum_len"),
-    )
-    return agg.select(
+    return documents.where(F.col("text").isNotNull()).select(
         "doc_id",
-        "n_tokens",
-        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
-        F.round(F.col("n_stopwords") / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(F.col("n_alpha") / F.col("n_tokens"), 6).alias("alpha_ratio"),
-        F.round(F.col("sum_len") / F.col("n_tokens"), 6).alias("mean_token_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_types / n_tokens, 6).alias("type_token_ratio"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_alpha / n_tokens, 6).alias("alpha_ratio"),
+        F.round(sum_len / n_tokens, 6).alias("mean_token_len"),
+    )
+
+
+def language_id_rowwise(
+    documents: DataFrame, markers: Dict[str, Sequence[str]] | None = None
+) -> DataFrame:
+    """Per-row language ID: documents(doc_id, text) -> (doc_id, pred_lang,
+    lang_score) with zero joins and zero shuffles (r7, guide §2.4).
+
+    Same contract as ``language_id`` over exploded tokens: score(lang) =
+    |tokens with lower(token) ∈ markers[lang]| / |tokens|, argmax with
+    lexicographic tie-break, 'und' (score 0) when no marker hits. The
+    marker sets are literal constants (the broadcast dimension of the
+    join formulation), so per-lang hit counts are size∘filter over the
+    token array and the argmax is array_max over (n_hits, rank) structs
+    — rank descends in lexicographic lang order, making the max unique
+    and the tie-break identical to row_number(ORDER BY n_hits DESC,
+    cand_lang ASC). NULL-text docs emitted no token rows before ->
+    filtered identically here."""
+    marks = {k: sorted(set(v)) for k, v in (markers or DEFAULT_MARKERS).items()}
+    langs = sorted(marks)
+    toks = F.split("text", " ", -1)
+
+    def _is_marker(lang: str):
+        terms = marks[lang]
+        return lambda t: F.lower(t).isin(*terms)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _is_marker(lang))).alias("n"),
+                F.lit(len(langs) - rank).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for rank, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(scored)
+    return documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        F.round(best["n"] / F.size(toks), 6).alias("lang_score"),
     )
 
 

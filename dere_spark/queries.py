@@ -412,28 +412,28 @@ def _hypo_gold(spark: SparkSession, sf_dir: str):
     """,
 )
 def q_eval_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span evaluation TP/FP via semi/anti joins on the span identity
-    4-tuple (reference: dere/evaluation.py:22-34; Span.matches
-    dere/corpus.py:206-220)."""
-    hypo, gold = _hypo_gold(spark, sf_dir)
-    key = ["doc_id", "span_type", "left", "right"]
-    tp = (
-        hypo.join(gold, key, "left_semi")
-        .groupBy("span_type")
-        .agg(F.count(F.lit(1)).alias("tp"))
-    )
-    fp = (
-        hypo.join(gold, key, "left_anti")
-        .groupBy("span_type")
-        .agg(F.count(F.lit(1)).alias("fp"))
-    )
-    return (
-        tp.join(fp, "span_type", "full_outer")
-        .select(
-            "span_type",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.coalesce("fp", F.lit(0)).alias("fp"),
-        )
+    """Span evaluation TP/FP on the span identity 4-tuple (reference:
+    dere/evaluation.py:22-34; Span.matches dere/corpus.py:206-220).
+
+    r7 restructure (same answer, proven against the unchanged oracle):
+    gold is BY DEFINITION hypo filtered to token_idx % 7 != 0, and the
+    match key (doc_id, span_type, left, right) is bijective with
+    (doc_id, span_type, token_idx) — `left` is a strictly increasing
+    function of token_idx within a document (prefix sum of len+1 ≥ 1)
+    and spans are unique per (doc_id, token_idx, span_type) (tokens are
+    unique per (doc_id, token_idx); the gazetteer is deduped per
+    (term, type)). Hence a hypo span has a gold match iff its OWN
+    token_idx % 7 != 0, and the semi/anti joins collapse to one
+    conditional aggregation over the cached span table — the general
+    semi/anti-join evaluator for non-derived gold lives in
+    evaluation.py and is unchanged. The old shape paid two sort-merge
+    joins of spans against spans plus a full-outer merge (22 exchanges
+    in the executed plan); this is one partial+final aggregation."""
+    spans = cached_stages(spark, sf_dir)["spans"]
+    matched = F.col("token_idx") % 7 != 0
+    return spans.groupBy("span_type").agg(
+        F.sum(F.when(matched, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(matched, 0).otherwise(1)).alias("fp"),
     )
 
 
@@ -478,21 +478,28 @@ def _register_relational() -> None:
     )
     def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Customer↔orders join + per-key fold (J7-style doc pairing +
-        A2 monoid fold). DECIMAL sum → bit-identical across engines."""
+        A2 monoid fold). DECIMAL sum → bit-identical across engines.
+
+        r7 (guide §2.3 "aggregate before you shuffle"): orders are
+        pre-aggregated per o_custkey BEFORE the join, so the exchange
+        carries one partially-aggregated row per customer instead of
+        every order row, and the join probes ~10x fewer rows. A customer
+        key never repeats after the pre-aggregation, so count/sum per
+        customer are unchanged (join-miss -> coalesce 0, exactly the
+        left-join-then-fold numbers)."""
         c = load_table(spark, sf_dir, "customer")
         o = load_table(spark, sf_dir, "orders")
-        return (
-            c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-            .groupBy(F.col("c_custkey").alias("custkey"))
-            .agg(
-                F.count("o_orderkey").alias("n_orders"),
-                F.coalesce(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
-                )
-                .cast("decimal(18,2)")
-                .cast("double")
-                .alias("total_spend"),
-            )
+        oagg = o.groupBy("o_custkey").agg(
+            F.count("o_orderkey").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+        )
+        return c.join(oagg, c["c_custkey"] == oagg["o_custkey"], "left").select(
+            F.col("c_custkey").alias("custkey"),
+            F.coalesce("_n", F.lit(0)).alias("n_orders"),
+            F.coalesce("_s", F.lit(0))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_spend"),
         )
 
     @register(
@@ -692,13 +699,25 @@ def _register_textops() -> None:
         """Exact dedup: hash-groupBy on content, keep duplicate groups with
         a deterministic representative (min doc_id). Input is the corpus
         plus deterministic seeded duplicates (id % 97) so the gate checks
-        values, not 0==0."""
-        docs = load_documents(spark, sf_dir, columns=["text"])
-        seeded = docs.unionByName(
-            docs.where(F.col("doc_id").cast("bigint") % 97 == 0).select(
-                F.concat("doc_id", F.lit("_dup")).alias("doc_id"), "text"
-            )
-        )
+        values, not 0==0.
+
+        r7: the seeded union is one scan, not two — every doc explodes to
+        suffix '' and %97 docs additionally to '_dup' (concat(doc_id, '')
+        is doc_id, so the row set is identical to the union). The up-front
+        doc_id repartition is skipped (partition_by_doc=False): the only
+        required exchange is the partially-aggregated (md5, count, min)
+        triple per distinct text — text bytes never cross the wire."""
+        docs = load_documents(spark, sf_dir, columns=["text"], partition_by_doc=False)
+        seeded = docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.when(
+                    F.col("doc_id").cast("bigint") % 97 == 0,
+                    F.array(F.lit(""), F.lit("_dup")),
+                ).otherwise(F.array(F.lit("")))
+            ).alias("_suffix"),
+        ).select(F.concat("doc_id", "_suffix").alias("doc_id"), "text")
         return (
             seeded.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
             .agg(
@@ -726,18 +745,22 @@ def _register_textops() -> None:
     )
     def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Text-quality scoring primitives: token count, type count,
-        stopword count, total token length — all integer-exact."""
+        stopword count, total token length — all integer-exact.
+        Per-row since r7 (guide §2.4): every feature is a function of
+        the document's own token array, so the explode + groupBy(doc_id)
+        token shuffle becomes array expressions riding the scan."""
         docs = load_documents(spark, sf_dir, columns=["text"])
-        toks = docs.select(
-            "doc_id", F.explode(F.split("text", " ", -1)).alias("token")
-        )
-        return toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("token").alias("n_types"),
-            F.sum(F.when(F.col("token").isin("the", "a"), 1).otherwise(0)).alias(
-                "n_stopwords"
-            ),
-            F.sum(F.length("token")).alias("sum_token_len"),
+        toks = F.split("text", " ", -1)
+        return docs.where(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+            F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+            .cast("long")
+            .alias("n_stopwords"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("sum_token_len"),
         )
 
     @register(
@@ -759,19 +782,14 @@ def _register_textops() -> None:
         """,
     )
     def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """3-gram shingling (dedup building block): distinct shingles/doc."""
+        """3-gram shingling (dedup building block): distinct shingles/doc.
+        Per-row since r7: size(distinct shingle array) — no explode, no
+        window, no countDistinct exchange (guide §2.4)."""
+        from dere_spark.operators.dedup import shingle_arrays
+
         docs = load_documents(spark, sf_dir, columns=["text"])
-        toks = tokenize(docs).select("doc_id", "token_idx", "token")
-        w = Window.partitionBy("doc_id").orderBy("token_idx")
-        shingles = toks.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "token", F.lead("token", 1).over(w), F.lead("token", 2).over(w)
-            ).alias("shingle"),
-            F.lead("token", 2).over(w).alias("_t2"),
-        ).where(F.col("_t2").isNotNull())
-        return shingles.groupBy("doc_id").agg(
-            F.countDistinct("shingle").alias("n_shingles")
+        return shingle_arrays(docs, n=3).select(
+            "doc_id", F.size("shingles").cast("long").alias("n_shingles")
         )
 
 
@@ -835,17 +853,24 @@ verified AS (
 def _register_dedup() -> None:
     from dere_spark.operators.dedup import (
         candidate_pairs_lsh,
+        explode_shingles,
         jaccard_verify,
-        lsh_bands_fused,
-        minhash_signatures,
+        lsh_bands_rowwise,
+        minhash_from_arrays,
         near_dup_clusters,
-        shingles,
+        shingle_arrays,
         simhash,
     )
 
     def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-document distinct-shingle ARRAYS (r7): the whole shingle
+        stage is per-row (no token explode, no window, no distinct
+        exchange); `explode_shingles` recovers the row form where a
+        consumer needs it. load_documents' doc_id repartition stays as
+        the parallelism source — the corpus is a single parquet row
+        group locally, so a map-only scan would run one task."""
         docs = load_documents(spark, sf_dir, columns=["text"])
-        return shingles(tokenize(docs).select("doc_id", "token_idx", "token"), n=3)
+        return shingle_arrays(docs, n=3)
 
     @register(
         "dedup_minhash_signatures",
@@ -853,7 +878,7 @@ def _register_dedup() -> None:
     )
     def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """MinHash signatures: k=16 md5 hash family, min per (doc, seed)."""
-        return minhash_signatures(_shingles(spark, sf_dir), num_hashes=16)
+        return minhash_from_arrays(_shingles(spark, sf_dir), num_hashes=16)
 
     @register(
         "dedup_lsh_candidates",
@@ -861,7 +886,7 @@ def _register_dedup() -> None:
     )
     def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """LSH banding (4 bands x 4 rows): candidate near-dup pairs."""
-        return candidate_pairs_lsh(lsh_bands_fused(_shingles(spark, sf_dir), num_hashes=16, bands=4))
+        return candidate_pairs_lsh(lsh_bands_rowwise(_shingles(spark, sf_dir), num_hashes=16, bands=4))
 
     @register(
         "dedup_jaccard_verified",
@@ -871,8 +896,8 @@ def _register_dedup() -> None:
     def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact Jaccard verification of LSH candidates (shingle join)."""
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
-        return jaccard_verify(pairs, sh).withColumn(
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        return jaccard_verify(pairs, explode_shingles(sh)).withColumn(
             "jaccard", F.round("jaccard", 6)
         )
 
@@ -897,8 +922,8 @@ def _register_dedup() -> None:
         propagation) over verified pairs — the scaled-up Equiv closure
         (reference: deRE_evaluation.py:92-99)."""
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
-        return near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        return near_dup_clusters(jaccard_verify(pairs, explode_shingles(sh)), threshold=0.8)
 
     @register(
         "dedup_filtered_corpus",
@@ -930,8 +955,8 @@ def _register_dedup() -> None:
         from dere_spark.operators.dedup import filter_near_dups
 
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
-        clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.8)
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        clusters = near_dup_clusters(jaccard_verify(pairs, explode_shingles(sh)), threshold=0.8)
         docs = load_documents(spark, sf_dir, columns=[]).select("doc_id")
         return filter_near_dups(docs, clusters)
 
@@ -960,8 +985,8 @@ def _register_dedup() -> None:
         from dere_spark.operators.graph import connected_components_star
 
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, num_hashes=16, bands=4))
-        verified = jaccard_verify(pairs, sh)
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        verified = jaccard_verify(pairs, explode_shingles(sh))
         edges = verified.where(F.col("jaccard") >= 0.8).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
@@ -992,7 +1017,7 @@ def _register_dedup() -> None:
     )
     def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """64-bit SimHash fingerprints as exact 32-bit halves."""
-        return simhash(_shingles(spark, sf_dir))
+        return simhash(explode_shingles(_shingles(spark, sf_dir)))
 
 
 _register_dedup()
@@ -1067,8 +1092,7 @@ def _register_text_analysis() -> None:
     from dere_spark.operators.text import (
         DEFAULT_MARKERS,
         content_fingerprint,
-        language_id,
-        language_markers_df,
+        language_id_rowwise,
         quality_scores,
         token_stats,
     )
@@ -1105,10 +1129,12 @@ def _register_text_analysis() -> None:
         """,
     )
     def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Language-ID heuristic: marker-token overlap, argmax per doc."""
+        """Language-ID heuristic: marker-token overlap, argmax per doc.
+        Per-row since r7: the marker dimension is a literal constant, so
+        the explode + join + two aggregations + window collapse into
+        array expressions on the scan (language_id_rowwise)."""
         docs = load_documents(spark, sf_dir, columns=["text"])
-        toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
-        return language_id(toks, language_markers_df(spark))
+        return language_id_rowwise(docs)
 
     @register(
         "text_quality_scores",
@@ -1522,8 +1548,9 @@ _register_round1_extras()
 def _register_entity_canonicalization() -> None:
     from dere_spark.operators.dedup import (
         candidate_pairs_lsh,
+        explode_shingles,
         jaccard_verify,
-        lsh_bands_fused,
+        lsh_bands_rowwise,
         near_dup_clusters,
     )
 
@@ -1601,15 +1628,22 @@ ent_verified AS (
                 F.concat("entity", F.lit("s")).alias("entity")
             )
         ).distinct()
-        idx = F.explode(F.sequence(F.lit(1), F.lit(40))).alias("i")
-        return (
-            entities.select("entity", idx)
-            .where(F.col("i") + 2 <= F.length("entity"))
-            .select(
-                F.col("entity").alias("doc_id"),
-                F.expr("substring(entity, i, 3)").alias("shingle"),
-            )
-            .distinct()
+        # Per-row char-3-gram ARRAYS (r7): the oracle's i ∈ [1, 40] with
+        # i+2 <= len(entity) becomes sequence(1, least(len-2, 40)); the
+        # per-entity distinct is array_distinct, so the explode + second
+        # global distinct exchange of the row formulation disappears —
+        # everything after the entity-set distinct is map-side. Entities
+        # shorter than 3 chars (no grams) are dropped by the SOURCE
+        # length predicate, not a filter on the derived array (which the
+        # optimizer would push to the scan with the gram expression
+        # inlined — the r7-measured pushdown trap, see shingle_arrays).
+        ent = F.col("entity")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.least(F.length(ent) - 2, F.lit(40))),
+            lambda i: ent.substr(i, F.lit(3)),
+        )
+        return entities.where(F.length(ent) >= 3).select(
+            ent.alias("doc_id"), F.array_distinct(grams).alias("shingles")
         )
 
     @register(
@@ -1621,7 +1655,7 @@ ent_verified AS (
         MinHash-LSH candidate pairs over graph entity surface forms —
         the scaled Equiv closure's blocking stage."""
         sh = _entity_shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, 16, 4))
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, 16, 4))
         return pairs.select(
             F.col("doc_a").alias("ent_a"), F.col("doc_b").alias("ent_b")
         )
@@ -1646,8 +1680,10 @@ ent_verified AS (
         """Entity canonicalization: verified near-dup surface forms
         collapsed by connected components -> (entity, canonical id)."""
         sh = _entity_shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_fused(sh, 16, 4))
-        clusters = near_dup_clusters(jaccard_verify(pairs, sh), threshold=0.5)
+        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, 16, 4))
+        clusters = near_dup_clusters(
+            jaccard_verify(pairs, explode_shingles(sh)), threshold=0.5
+        )
         return clusters.select(
             F.col("node").alias("entity"), F.col("component").alias("canonical")
         )

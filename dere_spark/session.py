@@ -40,7 +40,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan split size (guide §6), env-parameterised: the local default
+        # is 16 MB so the sandbox's medium single-file tables (lineitem
+        # 126 MB / 6 row groups at sf1.0) scan on one task per row group
+        # instead of 1-2 tasks for the whole file; a real cluster over a
+        # 100 TB corpus should set SPARK_GRAFT_MAX_PARTITION_BYTES to
+        # 128m-1g — there the files are many and large, per-task overhead
+        # is amortised, and bigger splits cut the map-task count feeding
+        # every shuffle (guide §2.2). This is a parallelism floor fix for
+        # small inputs, not a tuned constant: any value <= the row-group
+        # size yields the same row-group-per-task split locally.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16777216"),
+        )
         # the banded candidate join keys on (doc_id, bucket); both sides
         # are already hash-partitioned by doc_id, which IS a valid
         # co-partitioning for those keys (equal (doc_id,bucket) pairs

@@ -1,0 +1,142 @@
+"""r7 optimization round: the per-row (array-typed) dedup kernels must be
+value-identical to the row-level formulations they replaced, and their
+plans must keep the shapes the rewrite bought (zero shuffles before the
+bucket aggregation; no expensive expression pushed into the scan filter).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+import pytest
+
+from dere_spark.operators.dedup import (
+    candidate_pairs_lsh,
+    explode_shingles,
+    lsh_bands_fused,
+    lsh_bands_rowwise,
+    minhash_from_arrays,
+    minhash_signatures,
+    shingle_arrays,
+    shingles,
+    simhash,
+)
+from dere_spark.operators.tokenize import tokenize
+
+
+DOCS = [
+    ("d1", "a b c d e"),
+    ("d2", "a b c"),              # exactly n tokens -> one shingle
+    ("d3", "a b"),                # < n tokens -> no shingles, dropped
+    ("d4", ""),                   # single empty token
+    ("d5", None),                 # NULL text
+    ("d6", "x  y  z  w"),         # double spaces -> empty tokens kept
+    ("d7", "r r r r r r"),        # repeated shingles -> distinct
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_shingle_arrays_match_row_formulation(spark, docs):
+    row_form = _rows(shingles(tokenize(docs), n=3))
+    arr_form = _rows(explode_shingles(shingle_arrays(docs, n=3)))
+    assert arr_form == row_form
+    assert row_form  # non-vacuous
+
+
+def test_minhash_from_arrays_matches_staged(spark, docs):
+    sh_rows = shingles(tokenize(docs), n=3)
+    staged = _rows(minhash_signatures(sh_rows, num_hashes=16))
+    rowwise = _rows(minhash_from_arrays(shingle_arrays(docs, n=3), num_hashes=16))
+    assert rowwise == staged
+    assert staged
+
+
+def test_lsh_bands_rowwise_matches_fused(spark, docs):
+    sh_rows = shingles(tokenize(docs), n=3)
+    fused = _rows(lsh_bands_fused(sh_rows, num_hashes=16, bands=4))
+    rowwise = _rows(lsh_bands_rowwise(shingle_arrays(docs, n=3), 16, 4))
+    assert rowwise == fused
+    assert fused
+
+
+def test_candidate_pairs_match_bruteforce(spark):
+    """The in-bucket pair expansion must equal the old self-join: all
+    i<j doc pairs sharing a (band, band_sig) bucket, over-cap buckets
+    dropped, distinct across bands."""
+    rows = [
+        # bucket (0, 'x'): 3 docs -> 3 pairs
+        ("a", 0, "x"), ("b", 0, "x"), ("c", 0, "x"),
+        # bucket (1, 'y'): same pair again (distinct must collapse)
+        ("a", 1, "y"), ("b", 1, "y"),
+        # bucket (2, 'z'): over cap (4 > 3) -> dropped entirely
+        ("p", 2, "z"), ("q", 2, "z"), ("r", 2, "z"), ("s", 2, "z"),
+        # singleton bucket -> nothing
+        ("t", 3, "w"),
+    ]
+    band_df = spark.createDataFrame(rows, "doc_id string, band int, band_sig string")
+    got = _rows(candidate_pairs_lsh(band_df, max_bucket=3))
+    assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_simhash_matches_exploded_reference(spark, docs):
+    """The 64-accumulator aggregation must reproduce the per-(doc, bit)
+    explode + two-groupBy formulation it replaced."""
+    sh = explode_shingles(shingle_arrays(docs, n=3))
+    h = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    pw = F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    votes = (
+        h.select("doc_id", bit, "hi", "lo")
+        .select(
+            "doc_id",
+            "bit",
+            (F.floor(F.col("hi") / pw) % 2 * 2 - 1).alias("vote_hi"),
+            (F.floor(F.col("lo") / pw) % 2 * 2 - 1).alias("vote_lo"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote_hi").alias("v_hi"), F.sum("vote_lo").alias("v_lo"))
+    )
+    pw2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    reference = votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v_hi") > 0, pw2).otherwise(F.lit(0))).alias("simhash_hi"),
+        F.sum(F.when(F.col("v_lo") > 0, pw2).otherwise(F.lit(0))).alias("simhash_lo"),
+    )
+    assert _rows(simhash(sh)) == _rows(reference)
+
+
+def test_rowwise_chain_plan_shapes(spark, docs):
+    """The physical contract the rewrite bought (r7):
+
+    * minhash/bands over shingle arrays add ZERO data exchanges on top of
+      their input;
+    * no plan evaluates the shingle expression inside a scan-side filter
+      (the InferFiltersFromGenerate / filter-pushdown trap that ran
+      split(text) per lambda element single-threaded, measured 17-40x).
+    """
+    sa = shingle_arrays(docs, n=3)
+    for df in (
+        sa,
+        minhash_from_arrays(sa, 16),
+        lsh_bands_rowwise(sa, 16, 4),
+        explode_shingles(sa),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan), plan[:1500]
+        for filt in re.findall(r"Filter \(*(.*)", plan):
+            assert "array_distinct" not in filt, f"shingle expr in a filter:\n{filt[:400]}"
+        scans = re.findall(r"DataFilters: \[([^\]]*)\]", plan)
+        for s in scans:
+            assert "transform" not in s, f"HOF pushed into scan filter:\n{s[:400]}"
