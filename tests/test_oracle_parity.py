@@ -58,12 +58,9 @@ def test_driver_window_is_curated():
     # text_repetition_stats + corpus_weighted_sample +
     # corpus_pack_shards; 69 registered - 50 slots = 19 parked per
     # round from r6 on)
-    assert DRIVER_WINDOW[:8] == (
-        "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
-        "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
-        "dedup_embedding_pairs", "text_bow_counts",
-    )
-    assert ROTATED_OUT == (
+    # r7 rotation: the 19 gates parked in r6 lead slots 1-19 for fresh
+    # CORRECTNESS_r07 rows
+    assert DRIVER_WINDOW[:19] == (
         "doc_lang_dist", "join_full_outer_orders", "agg_pricing_summary",
         "set_union_distinct", "set_intersect_except", "regex_class_rewrite",
         "window_rank_kinds", "events_json_extract",
@@ -72,13 +69,15 @@ def test_driver_window_is_curated():
         "kg_pred_rollup", "kg_between_tokens", "window_event_lag",
         "eval_dup_adjustment", "dedup_ngram_shingles",
     )
-    # the new gates must actually receive driver rows this round
-    assert {
-        "web_latest_snapshot", "web_resolve_links", "web_host_graph",
-        "web_main_text", "web_pagerank", "text_bigram_counts",
-        "decontam_hits", "text_pii_stats", "text_repetition_stats",
-        "corpus_weighted_sample", "corpus_pack_shards",
-    } <= set(DRIVER_WINDOW)
+    assert ROTATED_OUT == (
+        "sim_ivf_topk", "sim_kmeans_buckets", "sim_ivf_batch_topk",
+        "graph_shortest_path", "graph_span_paths", "skew_salted_counts",
+        "dedup_embedding_pairs", "text_bow_counts",
+        "treebank_punct_tokens", "dedup_jaccard_verified", "dedup_clusters",
+        "kg_tokens", "kg_gold_arc_join", "eval_prf", "corpus_split_stats",
+        "sim_ivf_buckets", "text_porter_stems", "web_host_graph",
+        "events_cube_counts",
+    )
 
     spec = importlib.util.spec_from_file_location(
         "spark_entry", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
