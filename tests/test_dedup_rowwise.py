@@ -87,34 +87,15 @@ def test_candidate_pairs_match_bruteforce(spark):
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
 
 
-def test_simhash_matches_exploded_reference(spark, docs):
-    """The 64-accumulator aggregation must reproduce the per-(doc, bit)
-    explode + two-groupBy formulation it replaced."""
-    sh = explode_shingles(shingle_arrays(docs, n=3))
-    h = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10).cast("long").alias("lo"),
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
-    pw = F.pow(F.lit(2.0), F.col("bit")).cast("long")
-    votes = (
-        h.select("doc_id", bit, "hi", "lo")
-        .select(
-            "doc_id",
-            "bit",
-            (F.floor(F.col("hi") / pw) % 2 * 2 - 1).alias("vote_hi"),
-            (F.floor(F.col("lo") / pw) % 2 * 2 - 1).alias("vote_lo"),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote_hi").alias("v_hi"), F.sum("vote_lo").alias("v_lo"))
-    )
-    pw2 = F.pow(F.lit(2.0), F.col("bit")).cast("long")
-    reference = votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v_hi") > 0, pw2).otherwise(F.lit(0))).alias("simhash_hi"),
-        F.sum(F.when(F.col("v_lo") > 0, pw2).otherwise(F.lit(0))).alias("simhash_lo"),
-    )
-    assert _rows(simhash(sh)) == _rows(reference)
+def test_simhash_identical_across_shingle_fronts(spark, docs):
+    """simhash fed by the per-row array front must equal simhash fed by
+    the window/tokenize row front (the r6 input) — the fingerprint must
+    not depend on which shingle formulation produced its input."""
+    via_arrays = simhash(explode_shingles(shingle_arrays(docs, n=3)))
+    via_rows = simhash(shingles(tokenize(docs), n=3))
+    got = _rows(via_arrays)
+    assert got == _rows(via_rows)
+    assert got  # non-vacuous
 
 
 def test_rowwise_chain_plan_shapes(spark, docs):
