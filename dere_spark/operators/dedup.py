@@ -266,6 +266,54 @@ def minhash_from_arrays(
     )
 
 
+def lsh_bands_minagg(
+    shingle_rows: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, shingle) rows -> (doc_id, band, band_sig) via codegen md5
+    COLUMNS + a k-accumulator min aggregation (r7).
+
+    Same band/minhash arithmetic as ``lsh_bands_fused`` /
+    ``lsh_bands_rowwise`` (oracle-pinned), different physical strategy:
+    each shingle row computes its k seed-md5s as ordinary projected
+    columns (whole-stage codegen — no interpreted HOF lambda, no k-times
+    seed explode), groupBy(doc_id) folds k ``min`` accumulators (no
+    exchange when the input is doc_id-partitioned, the pipeline norm),
+    and the per-band signature is a plain projection over the k min
+    columns. Interleaved fresh-plan A/B at sf1.0 (candidate-pair query,
+    min-of-5): 2.00 s vs 2.38 s for the per-row-array form — codegen
+    md5 beats interpreted-HOF md5 once shingle volume dominates. The
+    per-row form (`lsh_bands_rowwise`) stays the right choice for
+    small, stage-count-bound inputs (the entity-canonicalization path):
+    it adds zero stages on top of its input.
+    """
+    hashed = shingle_rows.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle"))).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"_m{s}").alias(f"_m{s}") for s in range(num_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"_m{s}") for s in range(b, num_hashes, bands)]
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(min(bands, num_hashes))
+    ]
+    return mins.select(
+        "doc_id", F.explode_outer(F.array(*band_structs)).alias("_b")
+    ).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig")
+    )
+
+
 def capped_lsh_buckets(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame:
     """The buckets `candidate_pairs_lsh` will DROP at this cap: one row
     (band, band_sig, bucket_size) per over-cap bucket. Run it with the

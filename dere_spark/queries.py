@@ -865,7 +865,7 @@ def _register_dedup() -> None:
         candidate_pairs_lsh,
         explode_shingles,
         jaccard_verify,
-        lsh_bands_rowwise,
+        lsh_bands_minagg,
         minhash_signatures,
         near_dup_clusters,
         shingle_arrays,
@@ -908,7 +908,9 @@ def _register_dedup() -> None:
     )
     def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         """LSH banding (4 bands x 4 rows): candidate near-dup pairs."""
-        return candidate_pairs_lsh(lsh_bands_rowwise(_shingles(spark, sf_dir), num_hashes=16, bands=4))
+        return candidate_pairs_lsh(
+            lsh_bands_minagg(explode_shingles(_shingles(spark, sf_dir)), 16, 4)
+        )
 
     @register(
         "dedup_jaccard_verified",
@@ -918,7 +920,7 @@ def _register_dedup() -> None:
     def q_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact Jaccard verification of LSH candidates (shingle join)."""
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_minagg(explode_shingles(sh), 16, 4))
         return jaccard_verify(pairs, explode_shingles(sh)).withColumn(
             "jaccard", F.round("jaccard", 6)
         )
@@ -944,7 +946,7 @@ def _register_dedup() -> None:
         propagation) over verified pairs — the scaled-up Equiv closure
         (reference: deRE_evaluation.py:92-99)."""
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_minagg(explode_shingles(sh), 16, 4))
         return near_dup_clusters(jaccard_verify(pairs, explode_shingles(sh)), threshold=0.8)
 
     @register(
@@ -977,7 +979,7 @@ def _register_dedup() -> None:
         from dere_spark.operators.dedup import filter_near_dups
 
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_minagg(explode_shingles(sh), 16, 4))
         clusters = near_dup_clusters(jaccard_verify(pairs, explode_shingles(sh)), threshold=0.8)
         docs = load_documents(spark, sf_dir, columns=[]).select("doc_id")
         return filter_near_dups(docs, clusters)
@@ -1007,7 +1009,7 @@ def _register_dedup() -> None:
         from dere_spark.operators.graph import connected_components_star
 
         sh = _shingles(spark, sf_dir)
-        pairs = candidate_pairs_lsh(lsh_bands_rowwise(sh, num_hashes=16, bands=4))
+        pairs = candidate_pairs_lsh(lsh_bands_minagg(explode_shingles(sh), 16, 4))
         verified = jaccard_verify(pairs, explode_shingles(sh))
         edges = verified.where(F.col("jaccard") >= 0.8).select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -15,6 +15,7 @@ from dere_spark.operators.dedup import (
     candidate_pairs_lsh,
     explode_shingles,
     lsh_bands_fused,
+    lsh_bands_minagg,
     lsh_bands_rowwise,
     minhash_from_arrays,
     minhash_signatures,
@@ -66,6 +67,34 @@ def test_lsh_bands_rowwise_matches_fused(spark, docs):
     rowwise = _rows(lsh_bands_rowwise(shingle_arrays(docs, n=3), 16, 4))
     assert rowwise == fused
     assert fused
+
+
+def test_lsh_bands_minagg_matches_fused(spark, docs):
+    """The codegen min-agg band path must equal the fused/rowwise
+    formulations bit-for-bit (same md5 family, same seed-order band
+    signature)."""
+    sh_rows = shingles(tokenize(docs), n=3)
+    fused = _rows(lsh_bands_fused(sh_rows, num_hashes=16, bands=4))
+    minagg = _rows(
+        lsh_bands_minagg(explode_shingles(shingle_arrays(docs, n=3)), 16, 4)
+    )
+    assert minagg == fused
+    assert fused
+
+
+def test_lsh_bands_minagg_no_exchange_on_partitioned_input(spark, docs):
+    """On doc_id-partitioned input (the pipeline norm), the min
+    aggregation must reuse the partitioning — zero data exchanges on
+    top of the input's own."""
+    part = docs.repartition(4, "doc_id")
+    plan = (
+        lsh_bands_minagg(explode_shingles(shingle_arrays(part, n=3)), 16, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1 and ex[0].split("#")[0].strip() == "doc_id", plan[:1200]
 
 
 def test_candidate_pairs_match_bruteforce(spark):
