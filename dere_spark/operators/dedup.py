@@ -104,11 +104,16 @@ def explode_shingles(shingle_arr: DataFrame) -> DataFrame:
     InferFiltersFromGenerate, which pushes an inferred
     ``size(shingles) > 0`` — with the entire shingle expression INLINED —
     below the repartition to the single-task scan (r7 measured 5x on this
-    step alone). The arrays are non-empty by shingle_arrays' construction,
-    so outer vs inner explode is value-identical."""
+    step alone). The arrays are non-empty by shingle_arrays' construction;
+    the cheap NOT NULL filter on the generator OUTPUT (which cannot be
+    pushed below the Generate, so the trap stays closed) makes that an
+    enforced contract rather than a docstring one — an empty or NULL
+    array from some other producer drops the doc exactly like the inner
+    explode did, instead of leaking a NULL-shingle row into md5/concat_ws
+    (which skips NULLs and would fabricate a phantom signature)."""
     return shingle_arr.select(
         "doc_id", F.explode_outer("shingles").alias("shingle")
-    )
+    ).where(F.col("shingle").isNotNull())
 
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = 16) -> DataFrame:
@@ -349,9 +354,18 @@ def candidate_pairs_lsh(band_df: DataFrame, max_bucket: int = 1000) -> DataFrame
     # combinations per row computes the upstream exactly once and reuses
     # the window's (band, band_sig) partitioning for a no-exchange
     # aggregation (r7, guide §2.4/§3.3).
+    # array_distinct after the sort keeps the old self-join's exact
+    # contract: a doc_id appearing twice in one bucket must not emit a
+    # (d, d) self-pair (the a.doc_id < b.doc_id guard excluded it), and
+    # distinct stays sorted because array_distinct keeps first
+    # occurrences. The cap above still counts ROWS, as before.
     buckets = (
         sized.groupBy("band", "band_sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("_docs"))
+        .agg(
+            F.array_distinct(F.sort_array(F.collect_list("doc_id"))).alias(
+                "_docs"
+            )
+        )
         .where(F.size("_docs") >= 2)
     )
     # explode_outer: dodges InferFiltersFromGenerate, which would

@@ -77,32 +77,47 @@ def language_id(tokens: DataFrame, markers: DataFrame) -> DataFrame:
     )
 
 
+def token_count_exprs(
+    text_col: str = "text", stopwords: Sequence[str] = ("the", "a")
+) -> Dict[str, "F.Column"]:
+    """THE per-row token-stat kernel (r7): whitespace-token counts as
+    array expressions over split(text, ' ') — count -> size,
+    countDistinct -> size∘array_distinct, conditional counts ->
+    size∘filter, sum(len) -> aggregate. One definition shared by
+    `quality_scores` and the text_quality gate so the tokenization and
+    NULL handling cannot drift between them; callers must filter
+    NULL-text rows themselves (matching the old explode's drop)."""
+    toks = F.split(text_col, " ", -1)
+    return {
+        "n_tokens": F.size(toks),
+        "n_types": F.size(F.array_distinct(toks)),
+        "n_stopwords": F.size(F.filter(toks, lambda t: t.isin(*stopwords))),
+        "n_alpha": F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))),
+        "sum_len": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ),
+    }
+
+
 def quality_scores(documents: DataFrame, stopwords: Sequence[str] = ("the", "a")) -> DataFrame:
     """Per-document pretraining-filter features, integers/exact ratios.
 
     Per-row since r7 (guide §2.4): every feature is a function of the
-    document's own token array, so the explode + groupBy(doc_id) shape
-    (which shuffled the whole token stream) is replaced by array
-    expressions riding the scan — count -> size, countDistinct ->
-    size∘array_distinct, conditional counts -> size∘filter, sum(len) ->
-    aggregate. Integer counts divide to the same doubles, so the
-    rounded ratios are bit-identical; NULL-text docs emitted no token
-    rows before and are filtered identically here."""
-    toks = F.split("text", " ", -1)
-    n_tokens = F.size(toks)
-    n_types = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    document's own token array (token_count_exprs), so the explode +
+    groupBy(doc_id) shape (which shuffled the whole token stream) is
+    replaced by array expressions riding the scan. Integer counts divide
+    to the same doubles, so the rounded ratios are bit-identical;
+    NULL-text docs emitted no token rows before and are filtered
+    identically here."""
+    c = token_count_exprs("text", stopwords)
+    n_tokens = c["n_tokens"]
     return documents.where(F.col("text").isNotNull()).select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_types / n_tokens, 6).alias("type_token_ratio"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_alpha / n_tokens, 6).alias("alpha_ratio"),
-        F.round(sum_len / n_tokens, 6).alias("mean_token_len"),
+        F.round(c["n_types"] / n_tokens, 6).alias("type_token_ratio"),
+        F.round(c["n_stopwords"] / n_tokens, 6).alias("stopword_ratio"),
+        F.round(c["n_alpha"] / n_tokens, 6).alias("alpha_ratio"),
+        F.round(c["sum_len"] / n_tokens, 6).alias("mean_token_len"),
     )
 
 

@@ -391,9 +391,18 @@ gold AS (SELECT * FROM spans WHERE token_idx % 7 != 0)
 )
 
 
+def _gold_keep():
+    """THE seeded-gold derivation rule (mirrors the `gold` CTE in
+    _EVAL_CTES): a span is in gold iff token_idx % 7 != 0. Single Python
+    definition shared by the join-based `_hypo_gold` and the aggregated
+    `q_eval_span_counts`, so the rule cannot drift between them (the SQL
+    copy in _EVAL_CTES is frozen oracle text)."""
+    return F.col("token_idx") % 7 != 0
+
+
 def _hypo_gold(spark: SparkSession, sf_dir: str):
     spans = cached_stages(spark, sf_dir)["spans"]
-    return spans, spans.where(F.col("token_idx") % 7 != 0)
+    return spans, spans.where(_gold_keep())
 
 
 @register(
@@ -430,7 +439,7 @@ def q_eval_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of spans against spans plus a full-outer merge (22 exchanges
     in the executed plan); this is one partial+final aggregation."""
     spans = cached_stages(spark, sf_dir)["spans"]
-    matched = F.col("token_idx") % 7 != 0
+    matched = _gold_keep()
     return spans.groupBy("span_type").agg(
         F.sum(F.when(matched, 1).otherwise(0)).alias("tp"),
         F.sum(F.when(matched, 0).otherwise(1)).alias("fp"),
@@ -756,21 +765,19 @@ def _register_textops() -> None:
     def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Text-quality scoring primitives: token count, type count,
         stopword count, total token length — all integer-exact.
-        Per-row since r7 (guide §2.4): every feature is a function of
-        the document's own token array, so the explode + groupBy(doc_id)
-        token shuffle becomes array expressions riding the scan."""
+        Per-row since r7 (guide §2.4): the shared token_count_exprs
+        kernel (same one quality_scores uses) rides the scan instead of
+        an explode + groupBy(doc_id) token shuffle."""
+        from dere_spark.operators.text import token_count_exprs
+
         docs = load_documents(spark, sf_dir, columns=["text"])
-        toks = F.split("text", " ", -1)
+        c = token_count_exprs("text", stopwords=("the", "a"))
         return docs.where(F.col("text").isNotNull()).select(
             "doc_id",
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
-            F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-            .cast("long")
-            .alias("n_stopwords"),
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-            ).alias("sum_token_len"),
+            c["n_tokens"].cast("long").alias("n_tokens"),
+            c["n_types"].cast("long").alias("n_types"),
+            c["n_stopwords"].cast("long").alias("n_stopwords"),
+            c["sum_len"].alias("sum_token_len"),
         )
 
     @register(

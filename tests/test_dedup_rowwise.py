@@ -116,6 +116,27 @@ def test_candidate_pairs_match_bruteforce(spark):
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
 
 
+def test_candidate_pairs_no_self_pair_on_duplicate_doc(spark):
+    """r7 review: a doc_id appearing twice in one bucket must not emit a
+    (d, d) self-pair — the old self-join's a.doc_id < b.doc_id guard,
+    re-established by the in-bucket array_distinct."""
+    rows = [("d", 0, "x"), ("d", 0, "x"), ("e", 0, "x")]
+    band_df = spark.createDataFrame(rows, "doc_id string, band int, band_sig string")
+    assert _rows(candidate_pairs_lsh(band_df, max_bucket=10)) == [("d", "e")]
+
+
+def test_explode_shingles_drops_empty_and_null_arrays(spark):
+    """r7 review: explode_outer would emit a NULL-shingle row for an
+    empty/NULL array (md5/concat_ws would then fabricate a phantom
+    signature); the generator-output filter must drop such docs exactly
+    like the inner explode did."""
+    arr = spark.createDataFrame(
+        [("a", ["x y z"]), ("b", []), ("c", None)],
+        "doc_id string, shingles array<string>",
+    )
+    assert _rows(explode_shingles(arr)) == [("a", "x y z")]
+
+
 def test_simhash_identical_across_shingle_fronts(spark, docs):
     """simhash fed by the per-row array front must equal simhash fed by
     the window/tokenize row front (the r6 input) — the fingerprint must
